@@ -1,0 +1,137 @@
+"""Synthetic matrix generators.
+
+The reference ships the SuiteSparse FEMLAB/poisson2D matrix as an
+embedded test fixture (test/poisson2D.hpp) and benchmarks on SuiteSparse
+downloads.  This image has no network egress, so the framework generates
+its own structurally equivalent inputs:
+
+- ``poisson2d``: the 5-point finite-difference Laplacian on an
+  nx-by-ny grid (the same matrix family as FEMLAB/poisson2D and the
+  BASELINE "poisson2D 5-point stencil" configs),
+- ``random_sparse``: uniformly random pattern with a target nnz/row,
+- ``banded``: a diagonal band, the post-RCM shape,
+- ``powerlaw``: skewed row lengths (stress for hybrid's 2/3-median
+  split and nnz-balanced partitioning).
+
+All return ``MatrixMarket`` objects so every downstream path (format
+conversion, kernels, perf model) exercises the real ingestion types.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spmv_tpu.io.matrix_market import MatrixMarket, INDEX_DTYPE, VALUE_DTYPE
+
+__all__ = ["poisson2d", "random_sparse", "banded", "powerlaw", "from_coo_arrays"]
+
+
+def from_coo_arrays(
+    num_rows: int,
+    num_columns: int,
+    rows0: np.ndarray,
+    cols0: np.ndarray,
+    values: np.ndarray,
+    symmetry: str = "general",
+) -> MatrixMarket:
+    """Wrap 0-based COO arrays as a coordinate MatrixMarket object."""
+    rows0 = np.asarray(rows0)
+    return MatrixMarket(
+        object="matrix",
+        format="coordinate",
+        field="real",
+        symmetry=symmetry,
+        num_rows=int(num_rows),
+        num_columns=int(num_columns),
+        num_entries=int(rows0.size),
+        rows_1based=(rows0 + 1).astype(INDEX_DTYPE),
+        cols_1based=(np.asarray(cols0) + 1).astype(INDEX_DTYPE),
+        values=np.asarray(values, dtype=VALUE_DTYPE),
+    )
+
+
+def poisson2d(nx: int, ny: int = None) -> MatrixMarket:
+    """5-point Laplacian on an nx-by-ny grid: n = nx*ny rows.
+
+    Row-major grid numbering; stencil (4, -1, -1, -1, -1).
+    """
+    if ny is None:
+        ny = nx
+    n = nx * ny
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+    iy = idx // nx
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 4.0)]
+
+    def neighbor(mask, offset):
+        r = idx[mask]
+        rows.append(r)
+        cols.append(r + offset)
+        vals.append(np.full(r.size, -1.0))
+
+    neighbor(ix > 0, -1)
+    neighbor(ix < nx - 1, +1)
+    neighbor(iy > 0, -nx)
+    neighbor(iy < ny - 1, +nx)
+
+    return from_coo_arrays(
+        n, n,
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
+        symmetry="general",
+    )
+
+
+def random_sparse(
+    num_rows: int,
+    num_columns: int,
+    nnz_per_row: int,
+    seed: int = 0,
+) -> MatrixMarket:
+    """Uniformly random pattern, ~nnz_per_row entries per row, no dups."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(num_rows, dtype=np.int64), nnz_per_row)
+    cols = rng.integers(0, num_columns, size=rows.size, dtype=np.int64)
+    # Deduplicate (r, c) pairs.
+    key = rows * num_columns + cols
+    _, unique_idx = np.unique(key, return_index=True)
+    rows, cols = rows[unique_idx], cols[unique_idx]
+    vals = rng.standard_normal(rows.size)
+    return from_coo_arrays(num_rows, num_columns, rows, cols, vals)
+
+
+def banded(num_rows: int, half_bandwidth: int, seed: int = 0) -> MatrixMarket:
+    """Full band of width 2*half_bandwidth+1 around the diagonal."""
+    rng = np.random.default_rng(seed)
+    offsets = np.arange(-half_bandwidth, half_bandwidth + 1)
+    rows = np.repeat(np.arange(num_rows, dtype=np.int64), offsets.size)
+    cols = rows + np.tile(offsets, num_rows)
+    ok = (cols >= 0) & (cols < num_rows)
+    rows, cols = rows[ok], cols[ok]
+    vals = rng.standard_normal(rows.size)
+    return from_coo_arrays(num_rows, num_rows, rows, cols, vals)
+
+
+def powerlaw(
+    num_rows: int,
+    num_columns: int,
+    mean_nnz_per_row: float = 8.0,
+    alpha: float = 1.5,
+    seed: int = 0,
+) -> MatrixMarket:
+    """Skewed (Pareto-ish) row lengths; a few very long rows."""
+    rng = np.random.default_rng(seed)
+    raw = rng.pareto(alpha, size=num_rows) + 1.0
+    lengths = np.minimum(
+        (raw * mean_nnz_per_row / raw.mean()).astype(np.int64) + 1,
+        num_columns,
+    )
+    rows = np.repeat(np.arange(num_rows, dtype=np.int64), lengths)
+    cols = rng.integers(0, num_columns, size=rows.size, dtype=np.int64)
+    key = rows * num_columns + cols
+    _, unique_idx = np.unique(key, return_index=True)
+    rows, cols = rows[unique_idx], cols[unique_idx]
+    vals = rng.standard_normal(rows.size)
+    return from_coo_arrays(num_rows, num_columns, rows, cols, vals)

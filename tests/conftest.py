@@ -1,0 +1,88 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices (so sharding /
+multi-chip logic is exercised without TPU hardware, the same way the
+reference tests multi-threaded behavior in-process — SURVEY.md section 4)
+and with x64 enabled so fp64 correctness gates hold.
+
+The platform must be forced *before* the first JAX backend use; the
+sitecustomize in this image registers an `axon` TPU platform, so we
+override via jax.config (env vars alone are insufficient once the
+interpreter has started).
+"""
+
+import os
+
+# Must be set before the XLA CPU client is created.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import re
+
+import numpy as np
+import pytest
+
+REFERENCE_POISSON2D = "/root/reference/test/poisson2D.hpp"
+
+
+def _extract_cpp_string(text: str, marker: str) -> str:
+    start = text.index(marker)
+    start = text.index('R"(', start) + 3
+    end = text.index(')"', start)
+    return text[start:end]
+
+
+def _extract_cpp_double_vector(text: str, marker: str) -> np.ndarray:
+    start = text.index(marker)
+    start = text.index("{", start)
+    end = text.index("};", start)
+    body = text[start:end]
+    nums = re.findall(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?", body)
+    return np.array([float(x) for x in nums], dtype=np.float64)
+
+
+@pytest.fixture(scope="session")
+def reference_poisson2d():
+    """The reference's embedded FEMLAB/poisson2D fixture, if available.
+
+    Returns (matrix_market_text, b, expected_result) extracted from
+    /root/reference/test/poisson2D.hpp:7,2439,2808.  Skips when the
+    reference checkout is absent (tests must be hermetic without it).
+    """
+    if not os.path.exists(REFERENCE_POISSON2D):
+        pytest.skip("reference poisson2D fixture not available")
+    with open(REFERENCE_POISSON2D) as f:
+        text = f.read()
+    mtx = _extract_cpp_string(text, "poisson2D{")
+    b = _extract_cpp_double_vector(text, "poisson2D_b")
+    result = _extract_cpp_double_vector(text, "poisson2D_result")
+    assert b.size == 367 and result.size == 367
+    return mtx, b, result
+
+
+TINY_MTX = """%%MatrixMarket matrix coordinate real general
+% Test matrix
+4 5 7
+1 1 1.0
+1 2 2.0
+2 2 1.0
+3 3 3.0
+4 1 -1.0
+4 4 2.0
+4 5 1.0
+"""
+
+
+@pytest.fixture
+def tiny_mtx_text():
+    """A 4x5, 7-nnz matrix in the style of the reference's unit tests
+    (test/test_csr-matrix.cpp:59-70)."""
+    return TINY_MTX
