@@ -1,0 +1,263 @@
+"""Device-side sparse matrix containers (JAX pytrees).
+
+The host formats (numpy, exact reference layouts) convert to these
+device containers, which are shaped for the TPU compute model rather
+than for the reference's CPU kernels:
+
+- indices are int32, values default to float32 on TPU (float64 is
+  emulated and slow there) and float64 under x64 on CPU;
+- arrays are padded to TPU-friendly sizes (lane = 128, sublane = 8)
+  with zero-valued entries that are *mathematically inert* (value 0.0,
+  in-bounds column 0, row id pointing at a sacrificial overflow row) —
+  the TPU analogue of the reference's alignment padding
+  (csr-matrix.cpp:193-243) and ELL sentinel handling, which on TPU is
+  better expressed as multiply-by-zero than as control flow;
+- CSR carries both ``row_ptr`` (for scalar-prefetch Pallas kernels and
+  partitioning) and the expanded per-entry ``row_ids`` (for the XLA
+  segment-sum formulation) — scatter/atomics do not exist on TPU, so
+  every COO/CSR reduction is a segmented sum over sorted row ids
+  (SURVEY.md: "no atomics -> segmented reduction").
+
+All containers are registered pytrees: they pass through jit / shard_map
+/ scan transparently with static shape metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.models.coo import CooMatrix
+from spmv_tpu.models.csr import CsrMatrix
+from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
+from spmv_tpu.models.hybrid import HybridMatrix
+
+__all__ = [
+    "DeviceCsr",
+    "DeviceEll",
+    "DeviceHybrid",
+    "device_put_matrix",
+    "default_value_dtype",
+    "round_up",
+]
+
+LANE = 128
+SUBLANE = 8
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def default_value_dtype():
+    """float64 when x64 is enabled (CPU correctness gate), else float32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["row_ptr", "row_ids", "column_index", "value"],
+    meta_fields=["num_rows", "num_columns", "num_entries", "padded_rows",
+                 "padded_entries"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceCsr:
+    """CSR in segment-sum form.
+
+    ``row_ids``/``column_index``/``value`` have length ``padded_entries``
+    (a multiple of LANE*SUBLANE); padding entries carry
+    ``row_id == padded_rows - 1`` (a sacrificial overflow row *beyond*
+    num_rows), column 0 and value 0.  ``row_ptr`` has length
+    ``padded_rows + 1``.
+    """
+
+    num_rows: int
+    num_columns: int
+    num_entries: int        # real nonzeros
+    padded_rows: int
+    padded_entries: int
+    row_ptr: jax.Array      # (padded_rows + 1,) int32
+    row_ids: jax.Array      # (padded_entries,) int32, sorted ascending
+    column_index: jax.Array  # (padded_entries,) int32
+    value: jax.Array        # (padded_entries,) value dtype
+
+    format_name = "csr"
+
+    @classmethod
+    def from_host(
+        cls,
+        m: CsrMatrix,
+        dtype=None,
+        pad_rows_to: int = SUBLANE,
+        pad_entries_to: int = LANE * SUBLANE,
+    ) -> "DeviceCsr":
+        dtype = dtype or default_value_dtype()
+        stored = int(m.row_ptr[-1])
+        padded_entries = max(round_up(stored, pad_entries_to), pad_entries_to)
+        # One extra overflow row swallows the padding entries' partial
+        # sums; pad the row count past it to the requested multiple.
+        padded_rows = max(round_up(m.num_rows + 1, pad_rows_to), pad_rows_to)
+
+        row_ids = np.full(padded_entries, padded_rows - 1, dtype=np.int32)
+        row_ids[:stored] = np.repeat(
+            np.arange(m.num_rows, dtype=np.int32), np.diff(m.row_ptr)
+        )
+        cols = np.zeros(padded_entries, dtype=np.int32)
+        cols[:stored] = m.column_index
+        vals = np.zeros(padded_entries, dtype=np.float64)
+        vals[:stored] = m.value
+
+        row_ptr = np.full(padded_rows + 1, stored, dtype=np.int32)
+        row_ptr[: m.num_rows + 1] = m.row_ptr
+        row_ptr[-1] = padded_entries  # overflow row owns the padding
+
+        return cls(
+            num_rows=m.num_rows,
+            num_columns=m.num_columns,
+            num_entries=m.num_entries,
+            padded_rows=padded_rows,
+            padded_entries=padded_entries,
+            row_ptr=jnp.asarray(row_ptr),
+            row_ids=jnp.asarray(row_ids),
+            column_index=jnp.asarray(cols),
+            value=jnp.asarray(vals, dtype=dtype),
+        )
+
+    @classmethod
+    def from_coo_host(cls, m: CooMatrix, dtype=None, **kw) -> "DeviceCsr":
+        """COO -> device: sort by row and reuse the CSR segment form.
+
+        The TPU re-expression of the reference's COO kernels: both the
+        per-thread-workspace reduction (coo-matrix.cpp:248-285) and the
+        atomic scatter (287-309) become a sort + segmented sum.
+        """
+        order = np.argsort(m.row_index, kind="stable")
+        rows = m.row_index[order]
+        lengths = np.bincount(rows, minlength=m.num_rows)
+        row_ptr = np.zeros(m.num_rows + 1, dtype=np.int64)
+        np.cumsum(lengths, out=row_ptr[1:])
+        host = CsrMatrix(
+            m.num_rows, m.num_columns, m.num_entries, 1,
+            row_ptr, m.column_index[order], m.value[order],
+        )
+        return cls.from_host(host, dtype=dtype, **kw)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["column_index", "value"],
+    meta_fields=["num_rows", "num_columns", "num_entries", "row_length",
+                 "padded_rows", "padded_row_length"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceEll:
+    """ELLPACK: dense (padded_rows, padded_row_length) index/value tiles.
+
+    The sentinel/skip-padding variant is host-side control flow that has
+    no place on a vector unit; device padding is always value-0 +
+    in-bounds column, so padded slots multiply to zero.
+    """
+
+    num_rows: int
+    num_columns: int
+    num_entries: int
+    row_length: int
+    padded_rows: int
+    padded_row_length: int
+    column_index: jax.Array  # (padded_rows, padded_row_length) int32
+    value: jax.Array         # (padded_rows, padded_row_length)
+
+    format_name = "ell"
+
+    @classmethod
+    def from_host(
+        cls,
+        m: EllMatrix,
+        dtype=None,
+        pad_rows_to: int = SUBLANE,
+        pad_row_length_to: int = 1,
+    ) -> "DeviceEll":
+        dtype = dtype or default_value_dtype()
+        pr = max(round_up(m.num_rows, pad_rows_to), pad_rows_to)
+        pl = max(round_up(m.row_length, pad_row_length_to), 1)
+
+        cols = np.zeros((pr, pl), dtype=np.int32)
+        vals = np.zeros((pr, pl), dtype=np.float64)
+        src_cols = m.column_index
+        if m.skip_padding:
+            # Replace sentinels with an inert in-bounds column.
+            src_cols = np.where(src_cols == ELL_PAD_SENTINEL, 0, src_cols)
+        cols[: m.num_rows, : m.row_length] = src_cols
+        vals[: m.num_rows, : m.row_length] = m.value
+
+        return cls(
+            num_rows=m.num_rows,
+            num_columns=m.num_columns,
+            num_entries=m.num_entries,
+            row_length=m.row_length,
+            padded_rows=pr,
+            padded_row_length=pl,
+            column_index=jnp.asarray(cols),
+            value=jnp.asarray(vals, dtype=dtype),
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ell", "coo"],
+    meta_fields=["num_rows", "num_columns", "num_entries"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceHybrid:
+    """Hybrid: an ELL part plus a COO remainder in segment-sum form."""
+
+    num_rows: int
+    num_columns: int
+    num_entries: int
+    ell: DeviceEll
+    coo: DeviceCsr
+
+    format_name = "hybrid"
+
+    @classmethod
+    def from_host(cls, m: HybridMatrix, dtype=None, **kw) -> "DeviceHybrid":
+        ell_host = EllMatrix(
+            m.num_rows, m.num_columns, m.num_ell_entries,
+            max(m.ell_row_length, 1),
+            m.ell_column_index
+            if m.ell_row_length > 0
+            else np.zeros((m.num_rows, 1), dtype=np.int32),
+            m.ell_value
+            if m.ell_row_length > 0
+            else np.zeros((m.num_rows, 1)),
+            m.ell_skip_padding,
+        )
+        coo_host = CooMatrix(
+            m.num_rows, m.num_columns, m.num_coo_entries,
+            m.coo_row_index, m.coo_column_index, m.coo_value,
+        )
+        return cls(
+            num_rows=m.num_rows,
+            num_columns=m.num_columns,
+            num_entries=m.num_entries,
+            ell=DeviceEll.from_host(ell_host, dtype=dtype),
+            coo=DeviceCsr.from_coo_host(coo_host, dtype=dtype),
+        )
+
+
+def device_put_matrix(m, dtype=None, **kw):
+    """Convert any host format to its device counterpart."""
+    if isinstance(m, CsrMatrix):
+        return DeviceCsr.from_host(m, dtype=dtype, **kw)
+    if isinstance(m, CooMatrix):
+        return DeviceCsr.from_coo_host(m, dtype=dtype, **kw)
+    if isinstance(m, EllMatrix):
+        return DeviceEll.from_host(m, dtype=dtype, **kw)
+    if isinstance(m, HybridMatrix):
+        return DeviceHybrid.from_host(m, dtype=dtype, **kw)
+    raise TypeError(f"unsupported host matrix type: {type(m)!r}")

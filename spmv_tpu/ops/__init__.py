@@ -1,0 +1,7 @@
+"""Compute kernels: SpMV / SpMM / triad, XLA and Pallas paths, solvers."""
+
+from spmv_tpu.ops.spmv import spmv, spmv_padded, spmm
+from spmv_tpu.ops.triad import triad
+from spmv_tpu.ops.solvers import conjugate_gradient
+
+__all__ = ["spmv", "spmv_padded", "spmm", "triad", "conjugate_gradient"]

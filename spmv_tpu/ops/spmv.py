@@ -1,0 +1,89 @@
+"""SpMV / SpMM — XLA formulation.
+
+The portable compute path: works on CPU (fp64 correctness gate) and TPU,
+and is the semantic specification the Pallas kernels
+(spmv_tpu.ops.pallas_kernels) are tested against.
+
+Design notes (TPU-first, cf. SURVEY.md section 7):
+
+- No scatter, no atomics: CSR/COO reductions are segmented sums over
+  row-sorted entries (``jax.ops.segment_sum`` with
+  ``indices_are_sorted=True``), replacing the reference's per-thread
+  workspaces (coo-matrix.cpp:248-285) and ``omp atomic`` scatters
+  (287-309).
+- ELL is a dense (rows, L) gather + row reduction — the layout the VPU
+  actually likes; the hybrid format runs an ELL pass plus a COO-segment
+  pass, like the reference's two-pass kernel (hybrid-matrix.cpp:535-567).
+- Everything is shape-static and jit-compatible; padded entries are
+  mathematically inert (see models.device) so no masking control flow
+  is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spmv_tpu.models.device import DeviceCsr, DeviceEll, DeviceHybrid
+
+__all__ = ["spmv", "spmv_padded", "spmm"]
+
+
+def _csr_padded(A: DeviceCsr, x: jax.Array) -> jax.Array:
+    prod = A.value * jnp.take(x, A.column_index, axis=0)
+    return jax.ops.segment_sum(
+        prod,
+        A.row_ids,
+        num_segments=A.padded_rows,
+        indices_are_sorted=True,
+    )
+
+
+def _ell_padded(A: DeviceEll, x: jax.Array) -> jax.Array:
+    return (A.value * jnp.take(x, A.column_index, axis=0)).sum(axis=1)
+
+
+def spmv_padded(A, x: jax.Array) -> jax.Array:
+    """y = A @ x including the padded tail rows (for sharded callers).
+
+    Returns a vector of length ``A.padded_rows`` (CsrMatrix path: the
+    final overflow row collects the padding garbage; Ell path: padded
+    rows are exact zeros).
+    """
+    if isinstance(A, DeviceCsr):
+        return _csr_padded(A, x)
+    if isinstance(A, DeviceEll):
+        return _ell_padded(A, x)
+    if isinstance(A, DeviceHybrid):
+        y = _ell_padded(A.ell, x)
+        c = _csr_padded(A.coo, x)
+        return y.at[: A.num_rows].add(c[: A.num_rows])
+    raise TypeError(f"unsupported device matrix type: {type(A)!r}")
+
+
+def spmv(A, x: jax.Array) -> jax.Array:
+    """y = A @ x with the true (unpadded) row count."""
+    return spmv_padded(A, x)[: A.num_rows]
+
+
+def spmm(A, X: jax.Array) -> jax.Array:
+    """Y = A @ X for X of shape (num_columns, k).
+
+    The multi-vector SpMV (BASELINE config #4): the gather of X rows
+    amortizes index traffic over k columns, which is also the
+    TPU-friendly direction (row gathers are contiguous 128-lane loads).
+    """
+    if isinstance(A, DeviceCsr):
+        prod = A.value[:, None] * jnp.take(X, A.column_index, axis=0)
+        return jax.ops.segment_sum(
+            prod,
+            A.row_ids,
+            num_segments=A.padded_rows,
+            indices_are_sorted=True,
+        )[: A.num_rows]
+    if isinstance(A, DeviceEll):
+        gathered = jnp.take(X, A.column_index, axis=0)  # (rows, L, k)
+        return (A.value[..., None] * gathered).sum(axis=1)[: A.num_rows]
+    if isinstance(A, DeviceHybrid):
+        return spmm(A.ell, X)[: A.num_rows] + spmm(A.coo, X)[: A.num_rows]
+    raise TypeError(f"unsupported device matrix type: {type(A)!r}")

@@ -1,0 +1,104 @@
+"""Device-format and XLA-kernel tests (CPU backend, fp64).
+
+The device kernels are validated against the host (numpy) reference
+SpMVs, which are themselves validated against the reference's poisson2D
+ground truth — the same layered test strategy as the reference
+(SURVEY.md section 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmv_tpu.io import parse_matrix_market
+from spmv_tpu.io.generate import poisson2d, powerlaw, random_sparse
+from spmv_tpu.models import CooMatrix, CsrMatrix, EllMatrix, HybridMatrix
+from spmv_tpu.models.device import (
+    DeviceCsr,
+    DeviceEll,
+    DeviceHybrid,
+    device_put_matrix,
+)
+from spmv_tpu.ops import spmv, spmm, triad, conjugate_gradient
+
+
+def _make(mm, kind):
+    host = {
+        "coo": CooMatrix,
+        "csr": CsrMatrix,
+        "ell": EllMatrix,
+        "hybrid": HybridMatrix,
+    }[kind].from_matrix_market(mm)
+    return host, device_put_matrix(host)
+
+
+@pytest.mark.parametrize("kind", ["coo", "csr", "ell", "hybrid"])
+@pytest.mark.parametrize(
+    "gen",
+    [
+        lambda: poisson2d(17, 23),
+        lambda: powerlaw(300, 200, 6.0, seed=5),
+        lambda: random_sparse(128, 64, 3, seed=2),
+    ],
+)
+def test_device_spmv_matches_host(kind, gen):
+    mm = gen()
+    host, dev = _make(mm, kind)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(mm.num_columns)
+    y = jax.jit(spmv)(dev, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), host.spmv(x), rtol=1e-12)
+
+
+@pytest.mark.parametrize("kind", ["csr", "ell", "hybrid"])
+def test_device_spmm_matches_host(kind):
+    mm = powerlaw(200, 100, 5.0, seed=9)
+    host, dev = _make(mm, kind)
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((mm.num_columns, 8))
+    Y = jax.jit(spmm)(dev, jnp.asarray(X))
+    expected = np.stack([host.spmv(X[:, j]) for j in range(8)], axis=1)
+    np.testing.assert_allclose(np.asarray(Y), expected, rtol=1e-12)
+
+
+def test_device_formats_are_pytrees():
+    mm = poisson2d(8, 8)
+    for kind in ("csr", "ell", "hybrid"):
+        _, dev = _make(mm, kind)
+        leaves = jax.tree_util.tree_leaves(dev)
+        assert all(hasattr(l, "dtype") for l in leaves)
+        rebuilt = jax.tree_util.tree_map(lambda a: a, dev)
+        assert type(rebuilt) is type(dev)
+
+
+def test_device_padding_alignment():
+    mm = poisson2d(11, 13)  # 143 rows, deliberately unaligned
+    _, dev = _make(mm, "csr")
+    assert dev.padded_entries % 1024 == 0
+    assert dev.padded_rows % 8 == 0
+    assert dev.padded_rows > dev.num_rows  # overflow row exists
+    _, ell = _make(mm, "ell")
+    assert ell.padded_rows % 8 == 0
+
+
+def test_triad():
+    b = jnp.arange(8.0)
+    c = jnp.ones(8)
+    np.testing.assert_allclose(np.asarray(triad(b, c, 2.0)), np.arange(8.0) + 2.0)
+
+
+def test_conjugate_gradient_poisson(reference_poisson2d=None):
+    mm = poisson2d(16, 16)
+    _, dev = _make(mm, "csr")
+    rng = np.random.default_rng(3)
+    x_true = rng.standard_normal(mm.num_rows)
+    b = CsrMatrix.from_matrix_market(mm).spmv(x_true)
+
+    res = jax.jit(
+        lambda b: conjugate_gradient(
+            lambda v: spmv(dev, v), b, tol=1e-12, max_iterations=2000
+        )
+    )(jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6, atol=1e-8)
+    assert int(res.iterations) < 2000
