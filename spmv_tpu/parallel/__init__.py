@@ -1,0 +1,43 @@
+"""Multi-chip / multi-host parallel SpMV.
+
+The reference's only parallelism is OpenMP fork-join over pinned threads
+with NUMA page placement (SURVEY.md section 2, "Parallelism strategies").
+The TPU-native counterpart implemented here:
+
+- a 1-D device mesh (``make_mesh``) stands in for the thread->CPU->NUMA
+  topology of the reference's trace config;
+- contiguous nnz-balanced row blocks of the matrix are sharded over the
+  mesh (``ShardedCsr``), replacing ``ceil(rows/threads)`` equal-rows
+  blocks (csr-matrix.cpp:77-95);
+- the input vector is row-sharded too; each SpMV all-gathers x over ICI
+  (the collective stand-in for the reference's remote-NUMA reads) and
+  reduces rows locally — no scatter, no atomics;
+- the communication-volume model (``halo``) prices each shard's remote
+  x-traffic per peer shard, the direct analogue of the reference's
+  [thread][numa_domain] miss matrices (cache-trace.cpp:156-160).
+"""
+
+from spmv_tpu.parallel.mesh import make_mesh, mesh_info
+from spmv_tpu.parallel.shard import (
+    ShardedCsr,
+    shard_csr,
+    stack_vector,
+    unstack_vector,
+    sharded_spmv,
+    make_sharded_matvec,
+)
+from spmv_tpu.parallel.halo import communication_volume, HaloPlan, build_halo_plan
+
+__all__ = [
+    "make_mesh",
+    "mesh_info",
+    "ShardedCsr",
+    "shard_csr",
+    "stack_vector",
+    "unstack_vector",
+    "sharded_spmv",
+    "make_sharded_matvec",
+    "communication_volume",
+    "HaloPlan",
+    "build_halo_plan",
+]
