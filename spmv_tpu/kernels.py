@@ -1,0 +1,438 @@
+"""Kernel abstraction (the reference's L3, src/kernels/kernel.hpp).
+
+A Kernel bundles: problem setup (load/convert the matrix, allocate the
+vectors — ``init``), a device-executable step (``run_fn``), and the
+synthetic per-thread memory reference string for the cache simulator
+(``memory_reference_string``).  Seven kernels mirror the reference's
+seven (src/main.cpp:28-37):
+
+  triad, coo, coo-atomic, csr, ell, hybrid  — full analogues
+  xla-csr                                   — the vendor-library
+      comparison point (the reference's mkl-csr): SpMV through XLA's
+      own gather/segment lowering with ``memory_reference_string``
+      unimplemented, exactly like mkl-csr-spmv.cpp:74-81.
+
+``prepare`` (NUMA page placement in the reference) has no host-side
+analogue: data placement on TPU happens at ``device_put`` time with
+explicit shardings (see spmv_tpu.parallel.shard).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from spmv_tpu.errors import KernelError
+from spmv_tpu.io.matrix_market import MatrixMarket, load_matrix
+from spmv_tpu.models.coo import CooMatrix
+from spmv_tpu.models.csr import CsrMatrix
+from spmv_tpu.models.ell import EllMatrix
+from spmv_tpu.models.hybrid import HybridMatrix
+from spmv_tpu.perfmodel.layout import VirtualLayout
+from spmv_tpu.perfmodel.refstring import (
+    IDX,
+    VAL,
+    coo_atomic_spmv_refstring,
+    coo_spmv_refstring,
+    csr_spmv_refstring,
+    ell_spmv_refstring,
+    hybrid_spmv_refstring,
+    triad_refstring,
+)
+from spmv_tpu.perfmodel.trace_config import TraceConfig
+
+__all__ = ["Kernel", "make_kernel", "KERNEL_NAMES"]
+
+KERNEL_NAMES = (
+    "triad",
+    "coo",
+    "coo-atomic",
+    "csr",
+    "ell",
+    "hybrid",
+    "xla-csr",
+)
+
+
+class Kernel:
+    """Base kernel interface (kernel.hpp:18-45)."""
+
+    name: str = "kernel"
+
+    def init(self, verbose: bool = False) -> None:
+        raise NotImplementedError
+
+    def memory_reference_string(
+        self, trace_config: TraceConfig, thread: int, num_threads: int
+    ):
+        raise NotImplementedError
+
+    def run_fn(self) -> Callable:
+        """Returns (step, args): a jittable step and its arguments."""
+        raise NotImplementedError
+
+    def flops_per_run(self) -> int:
+        raise NotImplementedError
+
+    def bytes_per_run(self) -> int:
+        """Minimum HBM traffic of one run (streaming lower bound)."""
+        raise NotImplementedError
+
+    def describe(self) -> dict:
+        return {"name": self.name}
+
+
+class TriadKernel(Kernel):
+    """STREAM triad (src/kernels/triad.{cpp,hpp})."""
+
+    name = "triad"
+
+    def __init__(self, num_entries: int):
+        if num_entries <= 0:
+            raise KernelError("triad: num_entries must be positive")
+        self.num_entries = num_entries
+        self.layout: Optional[VirtualLayout] = None
+
+    def init(self, verbose: bool = False) -> None:
+        lay = VirtualLayout()
+        for nm in ("a", "b", "c"):
+            lay.allocate(nm, self.num_entries, VAL)
+        self.layout = lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        return triad_refstring(
+            self.num_entries, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+    def run_fn(self):
+        import jax.numpy as jnp
+
+        from spmv_tpu.models.device import default_value_dtype
+        from spmv_tpu.ops import triad
+
+        dt = default_value_dtype()
+        b = jnp.ones(self.num_entries, dt)
+        c = jnp.full(self.num_entries, 2.0, dt)
+        return (lambda v, c: triad(v, c, 3.1)), (b, c)
+
+    def flops_per_run(self) -> int:
+        return 2 * self.num_entries
+
+    def bytes_per_run(self) -> int:
+        dtype_bytes = 8 if _x64() else 4
+        return 3 * dtype_bytes * self.num_entries
+
+    def describe(self) -> dict:
+        return {"name": self.name, "num_entries": self.num_entries}
+
+
+class _MatrixKernel(Kernel):
+    """Shared behavior for the SpMV kernels."""
+
+    def __init__(self, matrix_path: str = None, mm: MatrixMarket = None):
+        if (matrix_path is None) == (mm is None):
+            raise KernelError("provide exactly one of matrix_path / mm")
+        self.matrix_path = matrix_path
+        self._mm = mm
+        self.matrix = None
+        self.layout: Optional[VirtualLayout] = None
+
+    def init(self, verbose: bool = False) -> None:
+        mm = self._mm
+        if mm is None:
+            mm = load_matrix(self.matrix_path, verbose=verbose)
+        self._mm = mm
+        self.matrix = self._convert(mm)
+        self.layout = self._make_layout()
+
+    def _convert(self, mm):
+        raise NotImplementedError
+
+    def _make_layout(self) -> VirtualLayout:
+        raise NotImplementedError
+
+    def flops_per_run(self) -> int:
+        return 2 * self.matrix.num_entries
+
+    def describe(self) -> dict:
+        m = self.matrix
+        return {
+            "name": self.name,
+            "matrix": self.matrix_path or "<in-memory>",
+            "rows": m.num_rows,
+            "columns": m.num_columns,
+            "nonzeros": m.num_entries,
+            "matrix_format": m.format_name,
+            "memory_usage_bytes": m.memory_usage_bytes(),
+        }
+
+    def run_fn(self):
+        import jax.numpy as jnp
+
+        from spmv_tpu.models.device import (
+            default_value_dtype,
+            device_put_matrix,
+        )
+        from spmv_tpu.ops import spmv
+
+        A = device_put_matrix(self.matrix)
+        x = jnp.ones((self.matrix.num_columns,), default_value_dtype())
+
+        def step(v, A):
+            y = spmv(A, v[: A.num_columns])
+            # keep the chain square for iteration: pad/trim to x shape
+            return jnp.resize(y, v.shape)
+
+        return step, (x, A)
+
+
+class CsrKernel(_MatrixKernel):
+    name = "csr"
+
+    def _convert(self, mm):
+        return CsrMatrix.from_matrix_market(mm)
+
+    def _make_layout(self):
+        m = self.matrix
+        lay = VirtualLayout()
+        lay.allocate("row_ptr", m.row_ptr.size, IDX)
+        lay.allocate("column_index", m.column_index.size, IDX)
+        lay.allocate("value", m.value.size, VAL)
+        lay.allocate("x", m.num_columns, VAL)
+        lay.allocate("y", m.num_rows, VAL)
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        return csr_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+    def bytes_per_run(self) -> int:
+        m = self.matrix
+        stored = int(m.row_ptr[-1])
+        return (
+            stored * (IDX + VAL)          # column_index + value streamed
+            + (m.num_rows + 1) * IDX       # row_ptr
+            + m.num_columns * VAL          # x read at least once
+            + m.num_rows * VAL             # y written
+        )
+
+
+class XlaCsrKernel(CsrKernel):
+    """Vendor-library comparison kernel (the reference's mkl-csr).
+
+    Runs SpMV through the plain XLA lowering; like the reference's MKL
+    wrapper it cannot produce a memory reference string
+    (mkl-csr-spmv.cpp:74-81) — profile-only.
+    """
+
+    name = "xla-csr"
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        raise KernelError(
+            "Memory reference strings are not implemented for the "
+            "library kernel 'xla-csr'"
+        )
+
+
+class EllKernel(_MatrixKernel):
+    name = "ell"
+
+    def __init__(self, *args, skip_padding: bool = False, **kw):
+        super().__init__(*args, **kw)
+        self.skip_padding = skip_padding
+
+    def _convert(self, mm):
+        return EllMatrix.from_matrix_market(
+            mm, skip_padding=self.skip_padding
+        )
+
+    def _make_layout(self):
+        m = self.matrix
+        lay = VirtualLayout()
+        lay.allocate("column_index", m.column_index.size, IDX)
+        lay.allocate("value", m.value.size, VAL)
+        lay.allocate("x", m.num_columns, VAL)
+        lay.allocate("y", m.num_rows, VAL)
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        return ell_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+    def bytes_per_run(self) -> int:
+        m = self.matrix
+        stored = m.value.size
+        return (
+            stored * (IDX + VAL)
+            + m.num_columns * VAL
+            + m.num_rows * VAL
+        )
+
+    def describe(self) -> dict:
+        d = super().describe()
+        d["row_length"] = self.matrix.row_length
+        d["num_padding_entries"] = self.matrix.num_padding_entries
+        return d
+
+
+class CooKernel(_MatrixKernel):
+    """Workspace-variant COO (src/kernels/coo-spmv.{cpp,hpp})."""
+
+    name = "coo"
+    _num_threads_hint = 1
+
+    def set_num_threads_hint(self, n: int) -> None:
+        """The workspace array is num_threads * rows elements
+        (coo-spmv.cpp:41-48); the simulator sizes it per config."""
+        self._num_threads_hint = max(1, int(n))
+        if self.matrix is not None:
+            self.layout = self._make_layout()
+
+    def _convert(self, mm):
+        return CooMatrix.from_matrix_market(mm)
+
+    def _make_layout(self):
+        m = self.matrix
+        lay = VirtualLayout()
+        lay.allocate("row_index", m.row_index.size, IDX)
+        lay.allocate("column_index", m.column_index.size, IDX)
+        lay.allocate("value", m.value.size, VAL)
+        lay.allocate("x", m.num_columns, VAL)
+        lay.allocate("y", m.num_rows, VAL)
+        lay.allocate(
+            "workspace", self._num_threads_hint * m.num_rows, VAL
+        )
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        if num_threads != self._num_threads_hint:
+            self.set_num_threads_hint(num_threads)
+        return coo_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+    def bytes_per_run(self) -> int:
+        m = self.matrix
+        return (
+            m.num_entries * (2 * IDX + VAL)
+            + m.num_columns * VAL
+            + m.num_rows * VAL
+        )
+
+
+class CooAtomicKernel(CooKernel):
+    """Atomic-variant COO (src/kernels/coo-spmv-atomic.{cpp,hpp}) — on
+    TPU both COO variants lower to the same sort+segment-sum."""
+
+    name = "coo-atomic"
+
+    def _make_layout(self):
+        m = self.matrix
+        lay = VirtualLayout()
+        lay.allocate("row_index", m.row_index.size, IDX)
+        lay.allocate("column_index", m.column_index.size, IDX)
+        lay.allocate("value", m.value.size, VAL)
+        lay.allocate("x", m.num_columns, VAL)
+        lay.allocate("y", m.num_rows, VAL)
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        return coo_atomic_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+
+class HybridKernel(_MatrixKernel):
+    name = "hybrid"
+    _num_threads_hint = 1
+
+    def set_num_threads_hint(self, n: int) -> None:
+        self._num_threads_hint = max(1, int(n))
+        if self.matrix is not None:
+            self.layout = self._make_layout()
+
+    def _convert(self, mm):
+        return HybridMatrix.from_matrix_market(mm)
+
+    def _make_layout(self):
+        m = self.matrix
+        lay = VirtualLayout()
+        lay.allocate("ell_column_index", m.ell_column_index.size, IDX)
+        lay.allocate("ell_value", m.ell_value.size, VAL)
+        lay.allocate("coo_row_index", max(m.coo_row_index.size, 1), IDX)
+        lay.allocate(
+            "coo_column_index", max(m.coo_column_index.size, 1), IDX
+        )
+        lay.allocate("coo_value", max(m.coo_value.size, 1), VAL)
+        lay.allocate("x", m.num_columns, VAL)
+        lay.allocate("y", m.num_rows, VAL)
+        lay.allocate(
+            "workspace", self._num_threads_hint * m.num_rows, VAL
+        )
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        if num_threads != self._num_threads_hint:
+            self.set_num_threads_hint(num_threads)
+        return hybrid_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+    def bytes_per_run(self) -> int:
+        m = self.matrix
+        return (
+            m.ell_value.size * (IDX + VAL)
+            + m.num_coo_entries * (2 * IDX + VAL)
+            + m.num_columns * VAL
+            + m.num_rows * VAL
+        )
+
+    def describe(self) -> dict:
+        d = super().describe()
+        d["ell_row_length"] = self.matrix.ell_row_length
+        d["num_ell_entries"] = self.matrix.num_ell_entries
+        d["num_coo_entries"] = self.matrix.num_coo_entries
+        return d
+
+
+def _x64() -> bool:
+    try:
+        import jax
+
+        return bool(jax.config.jax_enable_x64)
+    except Exception:
+        return False
+
+
+def make_kernel(
+    name: str,
+    matrix_path: str = None,
+    mm: MatrixMarket = None,
+    triad_entries: int = 0,
+    **kw,
+) -> Kernel:
+    """Kernel factory (the reference's switch, src/main.cpp:209-232)."""
+    if name == "triad":
+        return TriadKernel(triad_entries)
+    classes = {
+        "coo": CooKernel,
+        "coo-atomic": CooAtomicKernel,
+        "csr": CsrKernel,
+        "ell": EllKernel,
+        "hybrid": HybridKernel,
+        "xla-csr": XlaCsrKernel,
+    }
+    if name not in classes:
+        raise KernelError(
+            f"unknown kernel {name!r}; expected one of {KERNEL_NAMES}"
+        )
+    return classes[name](matrix_path=matrix_path, mm=mm, **kw)

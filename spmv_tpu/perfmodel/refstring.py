@@ -1,0 +1,364 @@
+"""Memory reference string generators (vectorized).
+
+Each generator reproduces, reference-for-reference, the address trace
+the corresponding reference kernel emits for one thread:
+
+- triad:      3 refs/element: b[k], c[k], a[k]
+              (src/kernels/triad.cpp:57-80)
+- csr:        1 + per row (row_ptr[i+1]; per nnz: col[k], val[k], x[j];
+              y[i]) = 3*nnz + 2*rows + 1  (csr-matrix.cpp:97-143)
+- ell:        per row (per slot: col[k], val[k], x[j]; y[i])
+              = 3*rows*L + rows  (ell-matrix.cpp:102-143)
+- coo:        5 refs/entry (row[k], col[k], val[k], x[j],
+              workspace[thread*rows+i]) over an equal-nnz split, then a
+              reduction phase of 2 refs per (row, thread):
+              workspace[j*rows+i], y[i]  (coo-matrix.cpp:81-141)
+- coo-atomic: 5 refs/entry (row, col, val, x[j], y[i]) with y
+              attributed to the owner of y[i]  (coo-matrix.cpp:143-185)
+- hybrid:     ELL-part string followed by COO-part string
+              (hybrid-matrix.cpp:231-249)
+
+Every generator is a pure numpy function over a VirtualLayout — no
+device, no host arrays; x-references (and coo-atomic's y-references)
+carry the NUMA domain of the owning thread's pages via the
+page-ownership model, all others the issuing thread's domain
+(SURVEY.md section 5, "Tracing").
+
+A reference string is a pair of equal-length arrays
+``(addresses: uint64, numa_domains: int32)``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from spmv_tpu.models.coo import CooMatrix
+from spmv_tpu.models.csr import CsrMatrix
+from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
+from spmv_tpu.models.hybrid import HybridMatrix
+from spmv_tpu.perfmodel.layout import (
+    PAGE_SIZE_DEFAULT,
+    VirtualLayout,
+    thread_of_index,
+)
+
+__all__ = [
+    "RefString",
+    "triad_refstring",
+    "csr_spmv_refstring",
+    "ell_spmv_refstring",
+    "coo_spmv_refstring",
+    "coo_atomic_spmv_refstring",
+    "hybrid_spmv_refstring",
+]
+
+RefString = Tuple[np.ndarray, np.ndarray]
+
+IDX = 4   # bytes per int32 index
+VAL = 8   # bytes per float64 value
+
+
+def _equal_block(n: int, num_threads: int, thread: int) -> Tuple[int, int]:
+    """ceil-block [start, end) like the reference partitions."""
+    per = -(-n // num_threads) if n else 0
+    return min(n, thread * per), min(n, (thread + 1) * per)
+
+
+def triad_refstring(
+    num_elements: int,
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Requires arrays 'a', 'b', 'c' of float64 in the layout."""
+    a, b, c = layout["a"], layout["b"], layout["c"]
+    lo, hi = _equal_block(num_elements, num_threads, thread)
+    k = np.arange(lo, hi, dtype=np.int64)
+    addrs = np.empty(3 * k.size, dtype=np.uint64)
+    addrs[0::3] = b.addresses(k)
+    addrs[1::3] = c.addresses(k)
+    addrs[2::3] = a.addresses(k)
+    numas = np.full(addrs.size, numa_domains[thread], dtype=np.int32)
+    return addrs, numas
+
+
+def csr_spmv_refstring(
+    m: CsrMatrix,
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Requires arrays 'row_ptr' (int32/8?), 'column_index' (int32),
+    'value' (f64), 'x' (f64), 'y' (f64) in the layout.
+
+    Layout of the string (csr-matrix.cpp:108-141): row_ptr[start_row],
+    then for each row i: row_ptr[i+1], (col[k], val[k], x[col[k]]) per
+    stored entry, y[i].
+    """
+    row_ptr_a = layout["row_ptr"]
+    col_a = layout["column_index"]
+    val_a = layout["value"]
+    x_a = layout["x"]
+    y_a = layout["y"]
+
+    lo_row, hi_row = _equal_block(m.num_rows, num_threads, thread)
+    rows = hi_row - lo_row
+    lo_nz, hi_nz = int(m.row_ptr[lo_row]), int(m.row_ptr[hi_row])
+    nnz = hi_nz - lo_nz
+
+    lengths = np.diff(m.row_ptr[lo_row:hi_row + 1]).astype(np.int64)
+    total = 3 * nnz + 2 * rows + 1
+    addrs = np.empty(total, dtype=np.uint64)
+    numas = np.full(total, numa_domains[thread], dtype=np.int32)
+
+    addrs[0] = row_ptr_a.addresses(lo_row)
+
+    # Row block base positions: after the initial ref, each row block
+    # occupies 2 + 3*len slots.
+    row_base = 1 + np.concatenate(
+        ([0], np.cumsum(2 + 3 * lengths)[:-1])
+    )
+    addrs[row_base] = row_ptr_a.addresses(
+        np.arange(lo_row + 1, hi_row + 1, dtype=np.int64)
+    )
+    y_pos = row_base + 1 + 3 * lengths
+    addrs[y_pos] = y_a.addresses(np.arange(lo_row, hi_row, dtype=np.int64))
+
+    if nnz:
+        k = np.arange(lo_nz, hi_nz, dtype=np.int64)
+        local_off = k - np.repeat(
+            m.row_ptr[lo_row:hi_row].astype(np.int64), lengths
+        )
+        entry_pos = np.repeat(row_base, lengths) + 1 + 3 * local_off
+        cols = m.column_index[lo_nz:hi_nz].astype(np.int64)
+        addrs[entry_pos] = col_a.addresses(k)
+        addrs[entry_pos + 1] = val_a.addresses(k)
+        addrs[entry_pos + 2] = x_a.addresses(cols)
+        numas[entry_pos + 2] = numa_domains[
+            thread_of_index(x_a, cols, num_threads, page_size)
+        ]
+    return addrs, numas
+
+
+def ell_spmv_refstring(
+    m: EllMatrix,
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Requires 'column_index' (int32), 'value' (f64), 'x', 'y'.
+
+    All L slots of each row are referenced, including padding
+    (ell-matrix.cpp:123-135) — padded slots read x[pad_col], which is
+    the point of the repeat-last-column padding.  Sentinel slots
+    (skip_padding) are *not* referenced, matching the skip-padding
+    kernel's early exit (ell-matrix.cpp:275-307).
+    """
+    col_a = layout["column_index"]
+    val_a = layout["value"]
+    x_a = layout["x"]
+    y_a = layout["y"]
+    L = m.row_length
+
+    lo_row, hi_row = _equal_block(m.num_rows, num_threads, thread)
+    rows = hi_row - lo_row
+
+    cols2d = m.column_index[lo_row:hi_row]  # (rows, L)
+    if m.skip_padding:
+        keep = cols2d != ELL_PAD_SENTINEL
+    else:
+        keep = np.ones_like(cols2d, dtype=bool)
+    lengths = keep.sum(axis=1).astype(np.int64)
+    nnz = int(lengths.sum())
+
+    total = 3 * nnz + rows
+    addrs = np.empty(total, dtype=np.uint64)
+    numas = np.full(total, numa_domains[thread], dtype=np.int32)
+
+    row_base = np.concatenate(([0], np.cumsum(3 * lengths + 1)[:-1]))
+    y_pos = row_base + 3 * lengths
+    addrs[y_pos] = y_a.addresses(np.arange(lo_row, hi_row, dtype=np.int64))
+
+    if nnz:
+        r, s = np.nonzero(keep)  # row-major order == slot order
+        k = (lo_row + r).astype(np.int64) * L + s  # flat slot index
+        local_off = (
+            np.arange(nnz, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(lengths)[:-1])),
+                        lengths)
+        )
+        entry_pos = np.repeat(row_base, lengths) + 3 * local_off
+        cols = cols2d[r, s].astype(np.int64)
+        addrs[entry_pos] = col_a.addresses(k)
+        addrs[entry_pos + 1] = val_a.addresses(k)
+        addrs[entry_pos + 2] = x_a.addresses(cols)
+        numas[entry_pos + 2] = numa_domains[
+            thread_of_index(x_a, cols, num_threads, page_size)
+        ]
+    return addrs, numas
+
+
+def coo_spmv_refstring(
+    m: CooMatrix,
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Workspace-variant COO (coo-matrix.cpp:81-141).
+
+    Requires 'row_index', 'column_index' (int32), 'value', 'x', 'y',
+    'workspace' (f64, num_threads*rows elements).
+    Phase 1: equal-nnz split, 5 refs/entry.  Phase 2: for each owned
+    row i and each thread j: workspace[j*rows+i] (attributed to the
+    workspace page owner), y[i].
+    """
+    row_a = layout["row_index"]
+    col_a = layout["column_index"]
+    val_a = layout["value"]
+    x_a = layout["x"]
+    y_a = layout["y"]
+    w_a = layout["workspace"]
+
+    lo, hi = _equal_block(m.num_entries, num_threads, thread)
+    k = np.arange(lo, hi, dtype=np.int64)
+    nnz = k.size
+
+    lo_row, hi_row = _equal_block(m.num_rows, num_threads, thread)
+    rows = hi_row - lo_row
+
+    total = 5 * nnz + 2 * rows * num_threads
+    addrs = np.empty(total, dtype=np.uint64)
+    numas = np.full(total, numa_domains[thread], dtype=np.int32)
+
+    if nnz:
+        i = m.row_index[lo:hi].astype(np.int64)
+        j = m.column_index[lo:hi].astype(np.int64)
+        addrs[0:5 * nnz:5] = row_a.addresses(k)
+        addrs[1:5 * nnz:5] = col_a.addresses(k)
+        addrs[2:5 * nnz:5] = val_a.addresses(k)
+        addrs[3:5 * nnz:5] = x_a.addresses(j)
+        numas[3:5 * nnz:5] = numa_domains[
+            thread_of_index(x_a, j, num_threads, page_size)
+        ]
+        addrs[4:5 * nnz:5] = w_a.addresses(thread * m.num_rows + i)
+
+    if rows:
+        i = np.arange(lo_row, hi_row, dtype=np.int64)
+        # (row, thread) pairs in the loop order i outer, j inner
+        # (coo-matrix.cpp:128-139).
+        jj = np.tile(np.arange(num_threads, dtype=np.int64), rows)
+        ii = np.repeat(i, num_threads)
+        widx = jj * m.num_rows + ii
+        base = 5 * nnz
+        addrs[base::2] = w_a.addresses(widx)
+        numas[base::2] = numa_domains[
+            thread_of_index(w_a, widx, num_threads, page_size)
+        ]
+        addrs[base + 1::2] = y_a.addresses(ii)
+    return addrs, numas
+
+
+def coo_atomic_spmv_refstring(
+    m: CooMatrix,
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Atomic-variant COO (coo-matrix.cpp:143-185): 5 refs/entry, y
+    attributed to its page owner."""
+    row_a = layout["row_index"]
+    col_a = layout["column_index"]
+    val_a = layout["value"]
+    x_a = layout["x"]
+    y_a = layout["y"]
+
+    lo, hi = _equal_block(m.num_entries, num_threads, thread)
+    k = np.arange(lo, hi, dtype=np.int64)
+    nnz = k.size
+    addrs = np.empty(5 * nnz, dtype=np.uint64)
+    numas = np.full(5 * nnz, numa_domains[thread], dtype=np.int32)
+    if nnz:
+        i = m.row_index[lo:hi].astype(np.int64)
+        j = m.column_index[lo:hi].astype(np.int64)
+        addrs[0::5] = row_a.addresses(k)
+        addrs[1::5] = col_a.addresses(k)
+        addrs[2::5] = val_a.addresses(k)
+        addrs[3::5] = x_a.addresses(j)
+        numas[3::5] = numa_domains[
+            thread_of_index(x_a, j, num_threads, page_size)
+        ]
+        addrs[4::5] = y_a.addresses(i)
+        numas[4::5] = numa_domains[
+            thread_of_index(y_a, i, num_threads, page_size)
+        ]
+    return addrs, numas
+
+
+def hybrid_spmv_refstring(
+    m: HybridMatrix,
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """ELL-part string then COO-part string (hybrid-matrix.cpp:231-249).
+
+    Requires 'ell_column_index', 'ell_value', 'coo_row_index',
+    'coo_column_index', 'coo_value', 'x', 'y', 'workspace'.
+    """
+    ell = EllMatrix(
+        m.num_rows, m.num_columns, m.num_ell_entries,
+        m.ell_row_length, m.ell_column_index, m.ell_value,
+        m.ell_skip_padding,
+    )
+    # Present the hybrid sub-arrays under the generic names the
+    # per-format generators expect.
+    ell_layout = _AliasLayout(layout, {
+        "column_index": "ell_column_index",
+        "value": "ell_value",
+    })
+    coo = CooMatrix(
+        m.num_rows, m.num_columns, m.num_coo_entries,
+        m.coo_row_index, m.coo_column_index, m.coo_value,
+    )
+    coo_layout = _AliasLayout(layout, {
+        "row_index": "coo_row_index",
+        "column_index": "coo_column_index",
+        "value": "coo_value",
+    })
+    if m.ell_row_length > 0:
+        a0, n0 = ell_spmv_refstring(
+            ell, ell_layout, thread, num_threads, numa_domains, page_size
+        )
+    else:
+        a0 = np.empty(0, np.uint64)
+        n0 = np.empty(0, np.int32)
+    a1, n1 = coo_spmv_refstring(
+        coo, coo_layout, thread, num_threads, numa_domains, page_size
+    )
+    return np.concatenate([a0, a1]), np.concatenate([n0, n1])
+
+
+class _AliasLayout:
+    """View of a VirtualLayout with renamed arrays."""
+
+    def __init__(self, layout: VirtualLayout, aliases: dict):
+        self._layout = layout
+        self._aliases = aliases
+        self.page_size = layout.page_size
+
+    def __getitem__(self, name: str):
+        return self._layout[self._aliases.get(name, name)]

@@ -1,0 +1,132 @@
+"""Kernel timing harness.
+
+The measured-profiling counterpart of the reference's profile-kernel
+path (src/profile-kernel.cpp:197-313): warmup, n timed runs, full
+sample statistics.  Hardware counters (libpfm4 there) map to the JAX
+profiler here (see spmv_tpu.profile.report for the report shapes).
+
+Remote-executed backends (this image tunnels to the TPU through a
+relay) make per-call wall timing unreliable: dispatch returns before
+the device finishes, and fetching large outputs prices the tunnel, not
+the chip.  ``time_kernel`` therefore times a *chained* K-iteration jit
+program whose output is reduced to a scalar, at two different K, and
+uses the slope — device time per iteration with dispatch/transfer
+overhead cancelled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.utils.sample import Sample, compute_sample
+
+__all__ = ["time_kernel", "profile_kernel_fn", "KernelTiming"]
+
+
+@dataclasses.dataclass
+class KernelTiming:
+    """Per-iteration device time estimate plus raw run samples."""
+
+    seconds_per_iteration: float
+    k_small: int
+    k_large: int
+    runs_small: Sample
+    runs_large: Sample
+
+    def to_json(self) -> dict:
+        return {
+            "seconds_per_iteration": self.seconds_per_iteration,
+            "k_small": self.k_small,
+            "k_large": self.k_large,
+            "runs_small_seconds": self.runs_small.to_json(),
+            "runs_large_seconds": self.runs_large.to_json(),
+        }
+
+
+def _time_once(fn, args) -> float:
+    t0 = time.perf_counter()
+    out = fn(*args)
+    # Force full execution: fetch the scalar to host.
+    np.asarray(out)
+    return time.perf_counter() - t0
+
+
+def time_kernel(
+    step: Callable,
+    args: tuple,
+    k_small: int = 2,
+    k_large: int = 12,
+    runs: int = 5,
+    warmup: int = 1,
+) -> KernelTiming:
+    """Estimate seconds per iteration of ``step``.
+
+    ``step(*args)`` must be a pure function whose output feeds the next
+    iteration (the harness chains it with lax.fori_loop and reduces the
+    final value to a scalar).  The first arg is the iterated value; the
+    rest are loop constants.
+    """
+
+    def chained(k):
+        @jax.jit
+        def run(*a):
+            def body(_, v):
+                return step(v, *a[1:])
+            out = jax.lax.fori_loop(0, k, body, a[0])
+            return _to_scalar(out)
+
+        return run
+
+    fn_s, fn_l = chained(k_small), chained(k_large)
+    for _ in range(warmup):
+        np.asarray(fn_s(*args))
+        np.asarray(fn_l(*args))
+
+    t_small = [_time_once(fn_s, args) for _ in range(runs)]
+    t_large = [_time_once(fn_l, args) for _ in range(runs)]
+
+    per_iter = (min(t_large) - min(t_small)) / (k_large - k_small)
+    per_iter = max(per_iter, 1e-12)
+    return KernelTiming(
+        seconds_per_iteration=per_iter,
+        k_small=k_small,
+        k_large=k_large,
+        runs_small=compute_sample(t_small, unit="s"),
+        runs_large=compute_sample(t_large, unit="s"),
+    )
+
+
+def _to_scalar(out):
+    leaves = jax.tree_util.tree_leaves(out)
+    acc = None
+    for l in leaves:
+        s = jnp.sum(l).astype(jnp.float32)
+        acc = s if acc is None else acc + s
+    return acc
+
+
+def profile_kernel_fn(
+    fn: Callable,
+    args: tuple,
+    runs: int = 10,
+    warmup: bool = True,
+) -> Sample:
+    """Direct n-run wall timing of fn(*args) -> scalar-reducible output.
+
+    The plain analogue of profile_kernel (one timed kernel.run per run,
+    profile-kernel.cpp:137-179).  On tunneled backends prefer
+    ``time_kernel``.
+    """
+    jitted = jax.jit(lambda *a: _to_scalar(fn(*a)))
+    if warmup:
+        np.asarray(jitted(*args))
+    times = []
+    for _ in range(runs):
+        times.append(_time_once(jitted, args))
+    return compute_sample(times, unit="s")
