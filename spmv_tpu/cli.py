@@ -1,0 +1,216 @@
+"""Command-line driver.
+
+The analogue of the reference binary (src/main.cpp): parse options,
+build a kernel through the factory, then either
+
+- simulate: replay the kernel's synthetic memory reference strings
+  through the configured cache hierarchy and report misses per thread
+  per NUMA domain (``--profile 0``, the default — main.cpp:239-244), or
+- profile: run the kernel on the attached device for N timed runs and
+  report execution-time statistics (``--profile N`` — main.cpp:246-259),
+  extended with the TPU roofline (modeled minimum HBM bytes vs achieved).
+
+Output in both modes is a single JSON document on stdout
+(json_ostreambuf in the reference; utils.jsonio here).  Errors map to
+non-zero exit codes with a message on stderr (main.cpp:261-270).
+
+Usage examples:
+    python -m spmv_tpu --matrix A.mtx.tar.gz --spmv-format csr \
+        --trace-config machine.json
+    python -m spmv_tpu --matrix A.mtx --spmv-format dia --profile 10
+    python -m spmv_tpu --triad 1000000 --profile 5
+    python -m spmv_tpu --list-devices
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from spmv_tpu.errors import SpmvError
+
+__all__ = ["main", "build_parser"]
+
+SPMV_FORMATS = (
+    "coo", "coo-atomic", "csr", "ell", "hybrid", "dia", "xla-csr"
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spmv-tpu",
+        description=(
+            "Trace-based TPU memory-model simulation and on-device "
+            "profiling of SpMV kernels (TPU-native rebuild of "
+            "spmv-cache-trace)."
+        ),
+    )
+    p.add_argument("-m", "--matrix", metavar="PATH",
+                   help="Matrix Market file (.mtx, .mtx.gz, .tar.gz)")
+    p.add_argument("-c", "--trace-config", metavar="PATH",
+                   help="JSON machine model (caches, NUMA domains, "
+                        "thread affinities)")
+    p.add_argument("-s", "--spmv-format", choices=SPMV_FORMATS,
+                   default="csr",
+                   help="sparse format / kernel (default csr; 'dia' is "
+                        "the TPU-native diagonal kernel)")
+    p.add_argument("--triad", type=int, metavar="N", default=0,
+                   help="run the STREAM-triad kernel over N elements "
+                        "instead of SpMV")
+    p.add_argument("-p", "--profile", type=int, metavar="N", default=0,
+                   help="run on the device N times and report timing "
+                        "statistics; 0 (default) simulates instead")
+    p.add_argument("--warmup", action="store_true",
+                   help="one untimed warmup run (or warmup replay in "
+                        "simulation mode)")
+    p.add_argument("--flush-caches", action="store_true",
+                   help="stream a large buffer between profiled runs to "
+                        "evict device-resident state (the TPU analogue "
+                        "of the reference's cache flushing)")
+    p.add_argument("--list-devices", action="store_true",
+                   help="list attached JAX devices and built-in machine "
+                        "models (the analogue of --list-perf-events)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def _make_kernel(args):
+    from spmv_tpu.kernels import make_kernel
+
+    if args.triad > 0:
+        return make_kernel("triad", triad_entries=args.triad)
+    if not args.matrix:
+        raise SpmvError(
+            "either --matrix or --triad N is required "
+            "(see --help)"
+        )
+    return make_kernel(args.spmv_format, matrix_path=args.matrix)
+
+
+def _list_devices(out) -> None:
+    import jax
+
+    from spmv_tpu.perfmodel.tiling import TPU_V5E, TPU_V5P
+    from spmv_tpu.utils.jsonio import dump_json
+
+    doc = {
+        "devices": [
+            {
+                "id": d.id,
+                "platform": d.platform,
+                "device_kind": d.device_kind,
+                "process_index": d.process_index,
+            }
+            for d in jax.devices()
+        ],
+        "machine_models": [TPU_V5E.to_json(), TPU_V5P.to_json()],
+    }
+    dump_json(doc, out)
+
+
+def _simulate(args, out) -> None:
+    from spmv_tpu.perfmodel.cache_trace import trace_cache_misses
+    from spmv_tpu.perfmodel.trace_config import read_trace_config
+    from spmv_tpu.utils.jsonio import dump_json
+
+    if not args.trace_config:
+        raise SpmvError(
+            "simulation mode requires --trace-config (JSON machine "
+            "model); run with --profile N for on-device timing instead"
+        )
+    config = read_trace_config(args.trace_config)
+    kernel = _make_kernel(args)
+    kernel.init(verbose=args.verbose)
+    trace = trace_cache_misses(
+        config, kernel, warmup=args.warmup, verbose=args.verbose
+    )
+    dump_json(trace.to_json(), out)
+
+
+def _profile(args, out) -> None:
+    import jax
+
+    from spmv_tpu.profile.harness import profile_kernel_fn, time_kernel
+    from spmv_tpu.perfmodel.tiling import TPU_V5E, roofline_time
+    from spmv_tpu.utils.jsonio import dump_json
+
+    kernel = _make_kernel(args)
+    kernel.init(verbose=args.verbose)
+    step, fargs = kernel.run_fn()
+
+    if args.verbose:
+        print(f"profiling {kernel.name} for {args.profile} runs on "
+              f"{jax.devices()[0]}", file=sys.stderr)
+
+    flusher = None
+    if args.flush_caches:
+        import jax.numpy as jnp
+
+        sweep = jnp.ones((64 * 1024 * 1024 // 4,), jnp.float32)
+        scrub = jax.jit(lambda v: (v * 1.0000001).sum())
+
+        def flusher():
+            scrub(sweep).block_until_ready()
+
+    runs = profile_kernel_fn(
+        step, fargs, runs=args.profile, warmup=True,
+        between_runs=flusher,
+    )
+    chained = time_kernel(step, fargs)
+
+    config_doc = None
+    if args.trace_config:
+        from spmv_tpu.perfmodel.trace_config import read_trace_config
+
+        config_doc = read_trace_config(args.trace_config).to_json()
+
+    t = chained.seconds_per_iteration
+    roof = roofline_time(
+        kernel.bytes_per_run(), kernel.flops_per_run(), machine=TPU_V5E
+    )
+    doc = {
+        "trace_config": config_doc,
+        "kernel": kernel.describe(),
+        "warmup": True,
+        "flush_caches": bool(args.flush_caches),
+        "runs": args.profile,
+        "device": {
+            "platform": jax.devices()[0].platform,
+            "device_kind": jax.devices()[0].device_kind,
+        },
+        # Reference report shape (profile-kernel.cpp:376-391): wall
+        # times of N whole runs.  On a tunneled backend these include
+        # dispatch/fetch; the chained estimate isolates device time.
+        "execution_time": runs.to_json(),
+        "device_seconds_per_iteration": t,
+        "roofline": roof,
+        "achieved": {
+            "gflop_per_s": kernel.flops_per_run() / t / 1e9,
+            "gb_per_s_modeled": kernel.bytes_per_run() / t / 1e9,
+            "fraction_of_roofline": roof["time_roofline_s"] / t,
+        },
+    }
+    dump_json(doc, out)
+
+
+def main(argv=None, out=None) -> int:
+    args = build_parser().parse_args(argv)
+    out = out or sys.stdout
+    try:
+        if args.list_devices:
+            _list_devices(out)
+        elif args.profile > 0:
+            _profile(args, out)
+        else:
+            _simulate(args, out)
+    except SpmvError as e:
+        print(f"spmv-tpu: {e}", file=sys.stderr)
+        return 1
+    except FileNotFoundError as e:
+        print(f"spmv-tpu: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

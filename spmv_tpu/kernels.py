@@ -27,6 +27,7 @@ from spmv_tpu.errors import KernelError
 from spmv_tpu.io.matrix_market import MatrixMarket, load_matrix
 from spmv_tpu.models.coo import CooMatrix
 from spmv_tpu.models.csr import CsrMatrix
+from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.ell import EllMatrix
 from spmv_tpu.models.hybrid import HybridMatrix
 from spmv_tpu.perfmodel.layout import VirtualLayout
@@ -35,6 +36,7 @@ from spmv_tpu.perfmodel.refstring import (
     VAL,
     coo_atomic_spmv_refstring,
     coo_spmv_refstring,
+    dia_spmv_refstring,
     csr_spmv_refstring,
     ell_spmv_refstring,
     hybrid_spmv_refstring,
@@ -51,6 +53,7 @@ KERNEL_NAMES = (
     "csr",
     "ell",
     "hybrid",
+    "dia",
     "xla-csr",
 )
 
@@ -404,6 +407,90 @@ class HybridKernel(_MatrixKernel):
         return d
 
 
+class DiaKernel(_MatrixKernel):
+    """DIA (diagonal) kernel — the TPU-native format with the Pallas
+    stencil fast path (spmv_tpu.ops.pallas_kernels.dia_spmv_core); no
+    reference counterpart (see spmv_tpu/models/dia.py)."""
+
+    name = "dia"
+
+    def __init__(self, *args, max_diagonals: int = 1024, **kw):
+        super().__init__(*args, **kw)
+        self.max_diagonals = max_diagonals
+
+    def _convert(self, mm):
+        return DiaMatrix.from_matrix_market(
+            mm, max_diagonals=self.max_diagonals
+        )
+
+    def _make_layout(self):
+        m = self.matrix
+        lay = VirtualLayout()
+        lay.allocate("data", m.data.size, VAL)
+        lay.allocate("x", m.num_columns, VAL)
+        lay.allocate("y", m.num_rows, VAL)
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        return dia_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+    def run_fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        from spmv_tpu.models.device import (
+            DeviceDia,
+            default_value_dtype,
+        )
+
+        A = DeviceDia.from_host(self.matrix)
+        on_cpu = jax.default_backend() == "cpu"
+        square = self.matrix.num_rows == self.matrix.num_columns
+
+        if square:
+            from spmv_tpu.ops.pallas_kernels import (
+                dia_prepare_x,
+                dia_spmv_core,
+            )
+
+            x = jnp.ones(
+                (self.matrix.num_columns,), default_value_dtype()
+            )
+            x2d = dia_prepare_x(A, x)
+
+            def step(v, A):
+                return dia_spmv_core(A, v, interpret=on_cpu)
+
+            return step, (x2d, A)
+
+        from spmv_tpu.ops import spmv
+
+        x = jnp.ones((self.matrix.num_columns,), default_value_dtype())
+
+        def step(v, A):
+            y = spmv(A, v[: A.num_columns])
+            return jnp.resize(y, v.shape)
+
+        return step, (x, A)
+
+    def bytes_per_run(self) -> int:
+        m = self.matrix
+        return (
+            m.data.size * VAL
+            + m.num_columns * VAL
+            + m.num_rows * VAL
+        )
+
+    def describe(self) -> dict:
+        d = super().describe()
+        d["num_diagonals"] = self.matrix.num_diagonals
+        d["fill_ratio"] = self.matrix.fill_ratio
+        return d
+
+
 def _x64() -> bool:
     try:
         import jax
@@ -429,6 +516,7 @@ def make_kernel(
         "csr": CsrKernel,
         "ell": EllKernel,
         "hybrid": HybridKernel,
+        "dia": DiaKernel,
         "xla-csr": XlaCsrKernel,
     }
     if name not in classes:

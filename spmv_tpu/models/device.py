@@ -34,11 +34,13 @@ import numpy as np
 
 from spmv_tpu.models.coo import CooMatrix
 from spmv_tpu.models.csr import CsrMatrix
+from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
 from spmv_tpu.models.hybrid import HybridMatrix
 
 __all__ = [
     "DeviceCsr",
+    "DeviceDia",
     "DeviceEll",
     "DeviceHybrid",
     "device_put_matrix",
@@ -250,6 +252,65 @@ class DeviceHybrid:
         )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["num_rows", "num_columns", "num_entries", "offsets",
+                 "padded_rows"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceDia:
+    """DIA in 2-D vector layout for the Pallas stencil kernel.
+
+    A length-n vector index i maps to (sublane-row, lane) = (i // LANE,
+    i % LANE); ``data`` holds each diagonal in that layout,
+    ``data[k, r, l] = A[i, i + offsets[k]]`` for ``i = r*LANE + l`` —
+    so an x access at offset ``o = s*LANE + t`` is a row shift by s
+    plus a lane roll by t, both vectorizable (no gather; see
+    models.dia module docstring).
+
+    ``offsets`` is a static tuple: the Pallas kernel specializes on it
+    at trace time.  ``padded_rows`` is a multiple of LANE*SUBLANE.
+    """
+
+    num_rows: int
+    num_columns: int
+    num_entries: int
+    offsets: tuple            # (D,) python ints, static, sorted
+    padded_rows: int          # multiple of LANE * SUBLANE
+    data: jax.Array           # (D, padded_rows // LANE, LANE)
+
+    format_name = "dia"
+
+    @property
+    def num_diagonals(self) -> int:
+        return len(self.offsets)
+
+    @classmethod
+    def from_host(
+        cls,
+        m: DiaMatrix,
+        dtype=None,
+        pad_rows_to: int = LANE * SUBLANE,
+    ) -> "DeviceDia":
+        dtype = dtype or default_value_dtype()
+        pad_rows_to = round_up(pad_rows_to, LANE * SUBLANE)
+        pr = max(round_up(m.num_rows, pad_rows_to), pad_rows_to)
+        d = m.offsets.size
+        data = np.zeros((d, pr), dtype=np.float64)
+        data[:, : m.num_rows] = m.data
+        return cls(
+            num_rows=m.num_rows,
+            num_columns=m.num_columns,
+            num_entries=m.num_entries,
+            offsets=tuple(int(o) for o in m.offsets),
+            padded_rows=pr,
+            data=jnp.asarray(
+                data.reshape(d, pr // LANE, LANE), dtype=dtype
+            ),
+        )
+
+
 def device_put_matrix(m, dtype=None, **kw):
     """Convert any host format to its device counterpart."""
     if isinstance(m, CsrMatrix):
@@ -260,4 +321,6 @@ def device_put_matrix(m, dtype=None, **kw):
         return DeviceEll.from_host(m, dtype=dtype, **kw)
     if isinstance(m, HybridMatrix):
         return DeviceHybrid.from_host(m, dtype=dtype, **kw)
+    if isinstance(m, DiaMatrix):
+        return DeviceDia.from_host(m, dtype=dtype, **kw)
     raise TypeError(f"unsupported host matrix type: {type(m)!r}")

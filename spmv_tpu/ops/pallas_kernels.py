@@ -1,0 +1,258 @@
+"""Pallas TPU kernels — the hot compute path.
+
+Semantics are specified by the XLA formulations in spmv_tpu.ops.spmv;
+every kernel here is tested against them (tests/test_dia.py, CPU
+interpret mode) and against the fp64 host reference.
+
+Design constraints discovered on the target chip
+(experiments/tpu_probe3_gather2.py): arbitrary sublane gathers inside
+Pallas miscompile on this Mosaic version; only lane-dimension
+operations (roll / take_along_axis axis=1) are reliable.  The kernels
+therefore use *zero* gathers:
+
+- DIA SpMV: each diagonal offset o = s*LANE + t decomposes into a
+  static sublane shift s (a static slice of a VMEM x window) and a
+  static lane roll t (pltpu.roll + boundary select) — pure streaming
+  FMAs, the TPU analogue of the reference's unit-stride triad loop
+  rather than its gather-based CSR loop (csr-matrix-spmv.cpp:29-33).
+
+Memory plan per y tile (tile_rows x LANE):
+- the diagonal data block and y tile ride the regular Mosaic
+  double-buffered BlockSpec pipeline;
+- x stays in HBM (memory_space ANY) and the kernel DMAs exactly the
+  rows the tile's offsets can touch into a two-slot VMEM window
+  scratch, prefetching tile j+1's window while computing tile j —
+  so x is fetched ~(1 + span/tile)x, not 3x, and the kernel scales to
+  x far beyond VMEM.
+
+Vectors cross the kernel boundary in a *padded 2-D layout* (leading
+zero rows so every shifted window stays in bounds).  ``dia_spmv``
+wraps pad -> kernel -> unpad for one-shot calls; iterative solvers
+should pad once via ``dia_prepare_x`` and chain ``dia_spmv_core``,
+whose output layout equals its input layout (the pad cost then
+vanishes from the loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_tpu.errors import MatrixError
+from spmv_tpu.models.device import DeviceDia, LANE, SUBLANE, round_up
+
+__all__ = [
+    "dia_spmv",
+    "dia_spmv_padded",
+    "dia_spmv_core",
+    "dia_prepare_x",
+    "dia_extract_y",
+    "DiaPlan",
+]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiaPlan:
+    """Static geometry of the DIA kernel's padded vector layout."""
+
+    tile_rows: int      # w: sublane rows per y tile
+    front_blocks: int   # FB: leading zero blocks in the x/y layout
+    num_tiles: int      # nb: active y tiles (covers padded_rows)
+    total_rows: int     # rows of the padded 2-D layout (multiple of w)
+    window_rows: int    # WR: x rows DMA'd per tile
+    smin_row: int       # min over offsets of floor(off / LANE)
+
+    @property
+    def grid(self) -> int:
+        return self.total_rows // self.tile_rows
+
+    @property
+    def x_offset(self) -> int:
+        """Flat index of x[0] within the padded layout."""
+        return self.front_blocks * self.tile_rows * LANE
+
+
+def make_plan(A: DeviceDia, tile_rows: int = 256) -> DiaPlan:
+    w = int(tile_rows)
+    if w % SUBLANE:
+        raise MatrixError(f"tile_rows must be a multiple of {SUBLANE}")
+    offs = A.offsets or (0,)
+    srows = [o // LANE for o in offs]           # floor division
+    smin_row, smax_row = min(min(srows), 0), max(max(srows), 0)
+    wr = round_up((smax_row + w + 1) - smin_row, SUBLANE)
+    if 2 * wr * LANE * 4 > 12 * 1024 * 1024:
+        raise MatrixError(
+            f"diagonal span {smax_row - smin_row} rows needs a "
+            f"{wr}-row window per tile — beyond the VMEM budget; "
+            "reorder the matrix (RCM) or use another format"
+        )
+    fb = _cdiv(max(0, -smin_row), w)
+    nb = _cdiv(A.padded_rows // LANE, w)
+    total_rows = round_up(
+        max(
+            fb * w + _cdiv(A.num_columns, LANE) + 1,
+            (fb + nb - 1) * w + smin_row + wr,
+            (fb + nb) * w,
+        ),
+        w,
+    )
+    return DiaPlan(
+        tile_rows=w,
+        front_blocks=fb,
+        num_tiles=nb,
+        total_rows=total_rows,
+        window_rows=wr,
+        smin_row=smin_row,
+    )
+
+
+def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype):
+    w = plan.tile_rows
+    fb, nb, wr = plan.front_blocks, plan.num_tiles, plan.window_rows
+    j = pl.program_id(0)
+    active = jnp.logical_and(j >= fb, j < fb + nb)
+
+    def window_dma(slot, jj):
+        start = jj * w + plan.smin_row
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, wr), :],
+            win.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(j == fb)
+    def _():
+        window_dma(fb % 2, fb).start()
+
+    @pl.when(jnp.logical_and(active, j + 1 < fb + nb))
+    def _():
+        window_dma((j + 1) % 2, j + 1).start()
+
+    @pl.when(active)
+    def _():
+        window_dma(j % 2, j).wait()
+        slot = j % 2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (w, LANE), 1)
+        acc = jnp.zeros((w, LANE), dtype=dtype)
+        for k, off in enumerate(offsets):
+            s, t = divmod(off, LANE)
+            lo = s - plan.smin_row
+            if t == 0:
+                shifted = win[slot, pl.ds(lo, w), :]
+            else:
+                rows = win[slot, pl.ds(lo, w + 1), :]
+                # rolled[r, l] = rows[r, (l + t) % LANE]
+                rolled = pltpu.roll(rows, LANE - t, axis=1)
+                shifted = jnp.where(
+                    lane < LANE - t,
+                    jax.lax.slice_in_dim(rolled, 0, w, axis=0),
+                    jax.lax.slice_in_dim(rolled, 1, w + 1, axis=0),
+                )
+            acc = acc + d_ref[k] * shifted
+        y_ref[:] = acc
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        y_ref[:] = jnp.zeros((w, LANE), dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def dia_spmv_core(
+    A: DeviceDia, x2d: jax.Array, tile_rows: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """y2d = A @ x in the padded layout (same layout in and out).
+
+    ``x2d`` must come from :func:`dia_prepare_x` (or be a previous
+    ``dia_spmv_core`` output for square matrices) — chaining this is
+    the zero-copy iteration path for CG and the profiling harness.
+    """
+    plan = make_plan(A, tile_rows)
+    w = plan.tile_rows
+    d, r0, _ = A.data.shape
+    nbw = plan.num_tiles * w
+    data = A.data
+    if nbw != r0:
+        data = jnp.pad(data, ((0, 0), (0, nbw - r0), (0, 0)))
+    if x2d.shape != (plan.total_rows, LANE):
+        raise MatrixError(
+            f"x2d has shape {x2d.shape}, expected "
+            f"{(plan.total_rows, LANE)} — use dia_prepare_x"
+        )
+
+    kernel = functools.partial(
+        _dia_kernel, offsets=A.offsets, plan=plan, dtype=data.dtype
+    )
+    fb, nb = plan.front_blocks, plan.num_tiles
+    return pl.pallas_call(
+        kernel,
+        grid=(plan.grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (d, w, LANE),
+                lambda j: (0, jnp.clip(j - fb, 0, nb - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (w, LANE), lambda j: (j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.total_rows, LANE), data.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, plan.window_rows, LANE), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2d.astype(data.dtype), data)
+
+
+def dia_prepare_x(
+    A: DeviceDia, x: jax.Array, tile_rows: int = 256
+) -> jax.Array:
+    """Lay a length-num_columns vector into the kernel's padded layout."""
+    plan = make_plan(A, tile_rows)
+    off = plan.x_offset
+    return jnp.pad(
+        x, (off, plan.total_rows * LANE - off - x.shape[0])
+    ).reshape(plan.total_rows, LANE)
+
+
+def dia_extract_y(
+    A: DeviceDia, y2d: jax.Array, tile_rows: int = 256
+) -> jax.Array:
+    """Pull the true y vector out of the padded layout."""
+    plan = make_plan(A, tile_rows)
+    off = plan.x_offset
+    return y2d.reshape(-1)[off: off + A.num_rows]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def dia_spmv_padded(
+    A: DeviceDia, x: jax.Array, tile_rows: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = A @ x, returning padded_rows entries (tail rows are zero)."""
+    y2d = dia_spmv_core(
+        A, dia_prepare_x(A, x, tile_rows), tile_rows, interpret
+    )
+    off = make_plan(A, tile_rows).x_offset
+    return y2d.reshape(-1)[off: off + A.padded_rows]
+
+
+def dia_spmv(
+    A: DeviceDia, x: jax.Array, tile_rows: int = 256, interpret: bool = False
+) -> jax.Array:
+    """y = A @ x with the true row count."""
+    return dia_spmv_padded(A, x, tile_rows=tile_rows, interpret=interpret)[
+        : A.num_rows
+    ]

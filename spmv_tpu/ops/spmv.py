@@ -24,7 +24,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from spmv_tpu.models.device import DeviceCsr, DeviceEll, DeviceHybrid
+from spmv_tpu.models.device import (
+    DeviceCsr,
+    DeviceDia,
+    DeviceEll,
+    DeviceHybrid,
+    LANE,
+)
 
 __all__ = ["spmv", "spmv_padded", "spmm"]
 
@@ -43,6 +49,29 @@ def _ell_padded(A: DeviceEll, x: jax.Array) -> jax.Array:
     return (A.value * jnp.take(x, A.column_index, axis=0)).sum(axis=1)
 
 
+def _dia_padded(A: DeviceDia, x: jax.Array) -> jax.Array:
+    """DIA SpMV as shifted contiguous slices — no gather at all.
+
+    The XLA specification of the Pallas stencil kernel
+    (ops.pallas_kernels.dia_spmv): for each static diagonal offset o,
+    y += data[k] * x[i + o] over the valid window, realized as a
+    dynamic_slice of a zero-padded x.  Offsets are static metadata, so
+    the loop unrolls at trace time.
+    """
+    n = A.padded_rows
+    min_off = min(A.offsets) if A.offsets else 0
+    max_off = max(A.offsets) if A.offsets else 0
+    front = max(0, -min_off)
+    back = max(0, n + max_off - x.shape[0])
+    xp = jnp.pad(x.astype(A.data.dtype), (front, back))
+    y = jnp.zeros((n,), dtype=A.data.dtype)
+    flat = A.data.reshape(A.data.shape[0], n)
+    for k, off in enumerate(A.offsets):
+        win = jax.lax.dynamic_slice(xp, (front + off,), (n,))
+        y = y + flat[k] * win
+    return y
+
+
 def spmv_padded(A, x: jax.Array) -> jax.Array:
     """y = A @ x including the padded tail rows (for sharded callers).
 
@@ -58,6 +87,8 @@ def spmv_padded(A, x: jax.Array) -> jax.Array:
         y = _ell_padded(A.ell, x)
         c = _csr_padded(A.coo, x)
         return y.at[: A.num_rows].add(c[: A.num_rows])
+    if isinstance(A, DeviceDia):
+        return _dia_padded(A, x)
     raise TypeError(f"unsupported device matrix type: {type(A)!r}")
 
 

@@ -37,6 +37,7 @@ import numpy as np
 from spmv_tpu.models.coo import CooMatrix
 from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
+from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.hybrid import HybridMatrix
 from spmv_tpu.perfmodel.layout import (
     PAGE_SIZE_DEFAULT,
@@ -52,6 +53,7 @@ __all__ = [
     "coo_spmv_refstring",
     "coo_atomic_spmv_refstring",
     "hybrid_spmv_refstring",
+    "dia_spmv_refstring",
 ]
 
 RefString = Tuple[np.ndarray, np.ndarray]
@@ -362,3 +364,60 @@ class _AliasLayout:
 
     def __getitem__(self, name: str):
         return self._layout[self._aliases.get(name, name)]
+
+
+def dia_spmv_refstring(
+    m: DiaMatrix,
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Reference string for the DIA kernel (TPU-native format; no
+    reference counterpart — modeled after the CSR string's attribution
+    rules, csr-matrix.cpp:97-143).
+
+    Requires arrays 'data' (D*rows f64), 'x', 'y'.  Per row i of the
+    thread's block, per diagonal k: data[k,i], then x[i+off_k] when in
+    bounds; finally y[i].  x refs are attributed to the NUMA domain of
+    the owning thread of that x element, others to the issuing thread.
+    """
+    data_a = layout["data"]
+    x_a = layout["x"]
+    y_a = layout["y"]
+
+    lo, hi = _equal_block(m.num_rows, num_threads, thread)
+    rows = hi - lo
+    d = m.offsets.size
+    if rows <= 0:
+        e = np.empty(0)
+        return e.astype(np.uint64), e.astype(np.int32)
+
+    i = np.arange(lo, hi, dtype=np.int64)[:, None]      # (rows, 1)
+    off = m.offsets.astype(np.int64)[None, :]           # (1, D)
+    xcol = i + off                                      # (rows, D)
+    valid = (xcol >= 0) & (xcol < m.num_columns)
+
+    # Interleaved grid: per row, [data_0, x_0, data_1, x_1, ..., y].
+    width = 2 * d + 1
+    grid_addr = np.zeros((rows, width), dtype=np.uint64)
+    grid_mask = np.zeros((rows, width), dtype=bool)
+    grid_numa = np.full(
+        (rows, width), numa_domains[thread], dtype=np.int32
+    )
+
+    k = np.arange(d, dtype=np.int64)[None, :]
+    grid_addr[:, 0:2 * d:2] = data_a.addresses(k * m.num_rows + i)
+    grid_mask[:, 0:2 * d:2] = True
+    xc = np.clip(xcol, 0, max(m.num_columns - 1, 0))
+    grid_addr[:, 1:2 * d:2] = x_a.addresses(xc)
+    grid_mask[:, 1:2 * d:2] = valid
+    grid_numa[:, 1:2 * d:2] = numa_domains[
+        thread_of_index(x_a, xc, num_threads, page_size)
+    ]
+    grid_addr[:, -1] = y_a.addresses(i[:, 0])
+    grid_mask[:, -1] = True
+
+    flat = grid_mask.reshape(-1)
+    return grid_addr.reshape(-1)[flat], grid_numa.reshape(-1)[flat]

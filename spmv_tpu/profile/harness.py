@@ -116,6 +116,7 @@ def profile_kernel_fn(
     args: tuple,
     runs: int = 10,
     warmup: bool = True,
+    between_runs: Optional[Callable] = None,
 ) -> Sample:
     """Direct n-run wall timing of fn(*args) -> scalar-reducible output.
 
@@ -128,5 +129,9 @@ def profile_kernel_fn(
         np.asarray(jitted(*args))
     times = []
     for _ in range(runs):
+        if between_runs is not None:
+            # The analogue of the reference's cache flushing between
+            # profiled runs (profile-kernel.cpp:181-192).
+            between_runs()
         times.append(_time_once(jitted, args))
     return compute_sample(times, unit="s")

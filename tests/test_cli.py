@@ -1,0 +1,141 @@
+"""CLI driver tests (the reference's L6, src/main.cpp).
+
+Exercises both dispatch modes in-process on the CPU backend: simulation
+(--profile 0, mirroring main.cpp:239-244) and profiling
+(--profile N, main.cpp:246-259), plus error mapping to exit codes
+(main.cpp:261-270).
+"""
+
+import io
+import json
+
+import pytest
+
+from spmv_tpu.cli import main
+
+MTX = """%%MatrixMarket matrix coordinate real general
+4 4 8
+1 1 4.0
+1 2 -1.0
+2 1 -1.0
+2 2 4.0
+2 3 -1.0
+3 2 -1.0
+3 3 4.0
+4 4 1.0
+"""
+
+CONFIG = {
+    "caches": {
+        "L1-0": {"size": 32768, "line_size": 64, "parent": "L3"},
+        "L1-1": {"size": 32768, "line_size": 64, "parent": "L3"},
+        "L3": {"size": 20971520, "line_size": 64, "parent": None},
+    },
+    "num_numa_domains": 2,
+    "thread_affinities": [
+        {"thread": 0, "cpu": 0, "cache": "L1-0", "numa_domain": 0},
+        {"thread": 1, "cpu": 1, "cache": "L1-1", "numa_domain": 1},
+    ],
+}
+
+
+@pytest.fixture
+def matrix_file(tmp_path):
+    p = tmp_path / "small.mtx"
+    p.write_text(MTX)
+    return str(p)
+
+
+@pytest.fixture
+def config_file(tmp_path):
+    p = tmp_path / "machine.json"
+    p.write_text(json.dumps(CONFIG))
+    return str(p)
+
+
+def _run(argv):
+    out = io.StringIO()
+    rc = main(argv, out=out)
+    return rc, out.getvalue()
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo", "ell", "hybrid", "dia"])
+def test_simulate_mode(matrix_file, config_file, fmt):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--trace-config", config_file,
+         "--spmv-format", fmt]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["kernel"]["name"] == fmt
+    assert doc["kernel"]["nonzeros"] == 8
+    # one miss matrix per cache, each (threads, numa domains)
+    assert set(doc["cache_misses"]) == {"L1-0", "L1-1", "L3"}
+    for m in doc["cache_misses"].values():
+        assert len(m) == 2 and len(m[0]) == 2
+    # every reference touched cold-misses at most once per line; the
+    # tiny matrix fits entirely, so misses are positive but bounded
+    total = sum(sum(r) for r in doc["cache_misses"]["L3"].values()) \
+        if isinstance(doc["cache_misses"]["L3"], dict) \
+        else sum(sum(r) for r in doc["cache_misses"]["L3"])
+    assert total > 0
+
+
+def test_simulate_triad(config_file):
+    rc, text = _run(
+        ["--triad", "1024", "--trace-config", config_file]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["kernel"]["name"] == "triad"
+
+
+def test_profile_mode(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--profile", "3"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["runs"] == 3
+    et = doc["execution_time"]
+    for key in ("min", "max", "mean", "median", "variance",
+                "standard_deviation", "skewness", "kurtosis"):
+        assert key in et
+    assert doc["achieved"]["gflop_per_s"] > 0
+    assert doc["roofline"]["bound"] in ("memory", "compute")
+
+
+def test_profile_mode_dia(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "dia",
+         "--profile", "2"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["kernel"]["num_diagonals"] == 3
+    assert doc["kernel"]["fill_ratio"] >= 1.0
+
+
+def test_list_devices():
+    rc, text = _run(["--list-devices"])
+    assert rc == 0
+    doc = json.loads(text)
+    assert len(doc["devices"]) >= 1
+    assert {m["name"] for m in doc["machine_models"]} == {
+        "tpu-v5e", "tpu-v5p"
+    }
+
+
+def test_errors_map_to_exit_codes(matrix_file, config_file, capsys):
+    # no matrix and no triad
+    assert _run(["--trace-config", config_file])[0] == 1
+    # simulation without a config
+    assert _run(["--matrix", matrix_file])[0] == 1
+    # nonexistent matrix path
+    assert _run(["--matrix", "/does/not/exist.mtx",
+                 "--trace-config", config_file])[0] == 1
+    # xla-csr cannot produce reference strings (mkl-csr parity,
+    # mkl-csr-spmv.cpp:74-81)
+    assert _run(["--matrix", matrix_file, "--trace-config", config_file,
+                 "--spmv-format", "xla-csr"])[0] == 1
