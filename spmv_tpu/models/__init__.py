@@ -14,6 +14,7 @@ Device-side pytree counterparts for JAX live in
 from spmv_tpu.models.coo import CooMatrix
 from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.dia import DiaMatrix
+from spmv_tpu.models.well import WellMatrix
 from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
 from spmv_tpu.models.hybrid import HybridMatrix
 from spmv_tpu.models.partition import (
@@ -26,6 +27,7 @@ __all__ = [
     "CooMatrix",
     "CsrMatrix",
     "DiaMatrix",
+    "WellMatrix",
     "EllMatrix",
     "HybridMatrix",
     "ELL_PAD_SENTINEL",

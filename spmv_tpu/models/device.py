@@ -37,12 +37,14 @@ from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
 from spmv_tpu.models.hybrid import HybridMatrix
+from spmv_tpu.models.well import WellMatrix, GROUP_ROWS
 
 __all__ = [
     "DeviceCsr",
     "DeviceDia",
     "DeviceEll",
     "DeviceHybrid",
+    "DeviceWell",
     "device_put_matrix",
     "default_value_dtype",
     "round_up",
@@ -311,6 +313,109 @@ class DeviceDia:
         )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["value", "local_index", "window_start", "group_of_chunk",
+                 "block_of_step", "spill"],
+    meta_fields=["num_rows", "num_columns", "num_entries", "window_rows",
+                 "num_chunks", "num_groups", "chunks_per_step"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceWell:
+    """WELL (windowed sliced-ELL) on device — see models.well.
+
+    ``value``/``local_index`` are (chunks, 8 slots, 128 rows) tiles;
+    each chunk's x accesses lie in a 128*window_rows column window
+    starting at x2d row ``window_start[t]``; ``group_of_chunk[t]`` is
+    the 128-row group the chunk accumulates into.  ``spill`` is the
+    out-of-window remainder in CSR segment form (or None).
+    """
+
+    num_rows: int
+    num_columns: int
+    num_entries: int
+    window_rows: int
+    num_chunks: int           # padded: multiple of chunks_per_step,
+                              # and no step spans two y blocks
+    num_groups: int
+    chunks_per_step: int      # K: chunks fused into one grid step
+    value: jax.Array          # (chunks, 8, LANE)
+    local_index: jax.Array    # (chunks, 8, LANE) int32
+    window_start: jax.Array   # (steps, 8, K) int32 per-slot, staged
+                              # into SMEM one step at a time
+    group_of_chunk: jax.Array  # (steps, 1, K) int32
+    block_of_step: jax.Array  # (chunks // K,) int32 — y block per step
+    spill: Optional[DeviceCsr]
+
+    format_name = "well"
+
+    @classmethod
+    def from_host(
+        cls, m: WellMatrix, dtype=None, chunks_per_step: int = 8
+    ) -> "DeviceWell":
+        dtype = dtype or default_value_dtype()
+        k = max(int(chunks_per_step), 1)
+        spill = None
+        if m.spill is not None:
+            spill = DeviceCsr.from_host(m.spill, dtype=dtype)
+
+        # Pad each y block's chunk run to a multiple of K with inert
+        # chunks so one grid step never spans two output blocks.
+        grp = np.asarray(m.group_of_chunk)
+        blocks = grp // SUBLANE
+        val_parts, loc_parts, ws_parts, grp_parts, blk_steps =             [], [], [], [], []
+        ws = np.asarray(m.window_start)        # (chunks, 8)
+        for blk in np.unique(blocks):
+            sel = np.nonzero(blocks == blk)[0]
+            c = sel.size
+            pad = (-c) % k
+            val_parts.append(m.value[sel])
+            loc_parts.append(m.local_index[sel])
+            ws_parts.append(ws[sel])
+            grp_parts.append(grp[sel])
+            if pad:
+                val_parts.append(
+                    np.zeros((pad,) + m.value.shape[1:], m.value.dtype)
+                )
+                loc_parts.append(
+                    np.zeros((pad,) + m.local_index.shape[1:], np.int32)
+                )
+                ws_parts.append(np.zeros((pad, SUBLANE), np.int32))
+                grp_parts.append(
+                    np.full(pad, blk * SUBLANE, dtype=np.int32)
+                )
+            blk_steps.extend([blk] * ((c + pad) // k))
+
+        value = np.concatenate(val_parts)
+        local_index = np.concatenate(loc_parts)
+        window_start = np.concatenate(ws_parts)        # (chunks, 8)
+        group_of_chunk = np.concatenate(grp_parts)     # (chunks,)
+        steps = value.shape[0] // k
+        # step-major SMEM staging layout: [step, slot, chunk-in-step]
+        window_start = np.ascontiguousarray(
+            window_start.reshape(steps, k, SUBLANE).transpose(0, 2, 1)
+        )
+        group_of_chunk = group_of_chunk.reshape(steps, 1, k)
+
+        return cls(
+            num_rows=m.num_rows,
+            num_columns=m.num_columns,
+            num_entries=m.num_entries,
+            window_rows=m.window_rows,
+            num_chunks=int(value.shape[0]),
+            num_groups=m.num_groups,
+            chunks_per_step=k,
+            value=jnp.asarray(value, dtype=dtype),
+            local_index=jnp.asarray(local_index),
+            window_start=jnp.asarray(window_start),
+            group_of_chunk=jnp.asarray(group_of_chunk),
+            block_of_step=jnp.asarray(
+                np.asarray(blk_steps, dtype=np.int32)
+            ),
+            spill=spill,
+        )
+
+
 def device_put_matrix(m, dtype=None, **kw):
     """Convert any host format to its device counterpart."""
     if isinstance(m, CsrMatrix):
@@ -323,4 +428,6 @@ def device_put_matrix(m, dtype=None, **kw):
         return DeviceHybrid.from_host(m, dtype=dtype, **kw)
     if isinstance(m, DiaMatrix):
         return DeviceDia.from_host(m, dtype=dtype, **kw)
+    if isinstance(m, WellMatrix):
+        return DeviceWell.from_host(m, dtype=dtype, **kw)
     raise TypeError(f"unsupported host matrix type: {type(m)!r}")

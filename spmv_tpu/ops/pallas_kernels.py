@@ -44,7 +44,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spmv_tpu.errors import MatrixError
-from spmv_tpu.models.device import DeviceDia, LANE, SUBLANE, round_up
+from spmv_tpu.models.device import (
+    DeviceDia,
+    DeviceWell,
+    LANE,
+    SUBLANE,
+    round_up,
+)
 
 __all__ = [
     "dia_spmv",
@@ -53,6 +59,8 @@ __all__ = [
     "dia_prepare_x",
     "dia_extract_y",
     "DiaPlan",
+    "well_spmv",
+    "well_spmv_padded",
 ]
 
 
@@ -256,3 +264,140 @@ def dia_spmv(
     return dia_spmv_padded(A, x, tile_rows=tile_rows, interpret=interpret)[
         : A.num_rows
     ]
+
+
+# ----------------------------------------------------------------------
+# WELL: windowed sliced-ELL (general matrices) — see models.well.
+#
+# Gather strategy (probe 11): per chunk of (8 slots x 128 consecutive
+# rows), every x access lies in a 128*window_rows column window; the
+# kernel broadcasts each of the m window rows across sublanes and does
+# one lane shuffle (take_along_axis axis=1) + masked accumulate — the
+# only gather primitive that is reliable on this chip.  The chunk's
+# slot dimension reduces on-chip to one 128-row strip of y, which
+# accumulates into a revisited (8, 128) output block; chunks of the
+# same block are consecutive in the grid.
+# ----------------------------------------------------------------------
+
+
+def _well_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref, y_ref,
+                 *, window_rows, k, dtype):
+    i = pl.program_id(0)
+    first_of_block = jnp.logical_or(
+        i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
+    )
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, LANE), 0)
+    acc_blk = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+    for kk in range(k):
+        loc = l_ref[kk]
+        lrow = loc >> 7
+        llane = loc & (LANE - 1)
+        val = v_ref[kk]
+        acc = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+        for m in range(window_rows):
+            # per-slot gather table: row s = x2d[ws[s, t] + m]
+            bt = jnp.concatenate(
+                [x_ref[pl.ds(ws_ref[0, s, kk] + m, 1), :]
+                 for s in range(SUBLANE)],
+                axis=0,
+            )
+            gthr = jnp.take_along_axis(bt, llane, axis=1)
+            acc = acc + jnp.where(
+                lrow == m, val * gthr, jnp.zeros_like(val)
+            )
+        strip = jnp.sum(acc, axis=0, keepdims=True)        # (1, LANE)
+        grow = grp_ref[0, 0, kk] & 7
+        acc_blk = acc_blk + jnp.where(
+            row_iota == grow,
+            jnp.broadcast_to(strip, (SUBLANE, LANE)),
+            jnp.zeros((SUBLANE, LANE), dtype=dtype),
+        )
+
+    @pl.when(first_of_block)
+    def _():
+        y_ref[:] = acc_blk
+
+    @pl.when(jnp.logical_not(first_of_block))
+    def _():
+        y_ref[:] += acc_blk
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def well_spmv_padded(
+    A: DeviceWell, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """y = A @ x over the WELL chunks, length round_up(num_groups,8)*128.
+
+    The spill remainder is NOT included — callers add it (well_spmv
+    composes both; this function is the bare Pallas path).
+    """
+    m = A.window_rows
+    k = A.chunks_per_step
+    xrows = _cdiv(A.num_columns, LANE) + m + 1
+    vmem_bytes = xrows * LANE * A.value.dtype.itemsize
+    if vmem_bytes > 8 * 1024 * 1024:
+        raise MatrixError(
+            f"x ({vmem_bytes/1e6:.0f} MB padded) exceeds the WELL "
+            "kernel's whole-x VMEM budget; shard the matrix "
+            "(spmv_tpu.parallel) or use the DIA/XLA paths"
+        )
+    xf = x.astype(A.value.dtype)
+    x2d = jnp.pad(xf, (0, xrows * LANE - x.shape[0])).reshape(xrows, LANE)
+
+    padded_groups = round_up(A.num_groups, SUBLANE)
+    kernel = functools.partial(
+        _well_kernel, window_rows=m, k=k, dtype=A.value.dtype
+    )
+    y2d = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(A.num_chunks // k,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, SUBLANE, k),
+                    lambda i, blk: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, k),
+                    lambda i, blk: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (k, SUBLANE, LANE),
+                    lambda i, blk: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (k, SUBLANE, LANE),
+                    lambda i, blk: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (SUBLANE, LANE),
+                lambda i, blk: (blk[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_groups, LANE), A.value.dtype
+        ),
+        interpret=interpret,
+    )(A.block_of_step, A.window_start, A.group_of_chunk,
+      x2d, A.value, A.local_index)
+    return y2d.reshape(-1)
+
+
+def well_spmv(
+    A: DeviceWell, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """y = A @ x including the spill remainder, true row count."""
+    y = well_spmv_padded(A, x, interpret=interpret)[: A.num_rows]
+    if A.spill is not None:
+        from spmv_tpu.ops.spmv import spmv as _xla_spmv
+
+        y = y + _xla_spmv(A.spill, x.astype(y.dtype))
+    return y

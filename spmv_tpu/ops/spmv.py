@@ -29,7 +29,9 @@ from spmv_tpu.models.device import (
     DeviceDia,
     DeviceEll,
     DeviceHybrid,
+    DeviceWell,
     LANE,
+    SUBLANE,
 )
 
 __all__ = ["spmv", "spmv_padded", "spmm"]
@@ -72,6 +74,38 @@ def _dia_padded(A: DeviceDia, x: jax.Array) -> jax.Array:
     return y
 
 
+def _well_padded(A: DeviceWell, x: jax.Array) -> jax.Array:
+    """WELL SpMV, XLA formulation (the Pallas kernel's specification).
+
+    Gathers through the same (window_start, local_index) addressing the
+    kernel uses, then segment-sums chunk contributions into their y
+    slices; the spill remainder rides the CSR segment path.
+    """
+    xf = x.astype(A.value.dtype)
+    steps, _, k = A.window_start.shape
+    ws = A.window_start.transpose(0, 2, 1).reshape(A.num_chunks, SUBLANE)
+    xcol = ws[:, :, None] * LANE + A.local_index
+    gathered = jnp.take(xf, xcol, mode="clip")     # (chunks, 8, LANE)
+    contrib = (A.value * gathered).sum(axis=1)     # (chunks, LANE)
+    y = jax.ops.segment_sum(
+        contrib,
+        A.group_of_chunk.reshape(-1),
+        num_segments=A.num_groups,
+        indices_are_sorted=True,
+    ).reshape(-1)
+    if A.spill is not None:
+        pad = y.shape[0] - A.spill.padded_rows
+        sp = _csr_padded(A.spill, xf)
+        if pad >= 0:
+            sp = jnp.pad(sp, (0, pad))
+        else:
+            sp = sp[: y.shape[0]]
+        # spill rows beyond num_rows are padding garbage; mask them
+        mask = jnp.arange(y.shape[0]) < A.num_rows
+        y = y + jnp.where(mask, sp, 0)
+    return y
+
+
 def spmv_padded(A, x: jax.Array) -> jax.Array:
     """y = A @ x including the padded tail rows (for sharded callers).
 
@@ -89,6 +123,8 @@ def spmv_padded(A, x: jax.Array) -> jax.Array:
         return y.at[: A.num_rows].add(c[: A.num_rows])
     if isinstance(A, DeviceDia):
         return _dia_padded(A, x)
+    if isinstance(A, DeviceWell):
+        return _well_padded(A, x)
     raise TypeError(f"unsupported device matrix type: {type(A)!r}")
 
 

@@ -1,0 +1,90 @@
+"""WELL (windowed sliced-ELL) format + Pallas shuffle-gather kernel.
+
+Correctness chain: host WellMatrix.spmv vs dense fp64 ground truth ->
+device XLA path vs host -> Pallas kernel (interpret mode) vs XLA.
+Spill behavior (out-of-window entries to the CSR remainder) is
+exercised explicitly with a tiny window.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spmv_tpu.errors import MatrixError
+from spmv_tpu.io.generate import poisson2d, random_sparse
+from spmv_tpu.models import CsrMatrix, WellMatrix
+from spmv_tpu.models.device import DeviceWell, device_put_matrix
+from spmv_tpu.ops import spmv, well_spmv
+
+
+def _dense_of(mm):
+    A = np.zeros((mm.num_rows, mm.num_columns))
+    np.add.at(A, (mm.rows_1based - 1, mm.cols_1based - 1), mm.values)
+    return A
+
+
+@pytest.mark.parametrize("shape", [(13, 17), (40, 40)])
+def test_host_well_matches_dense(shape):
+    mm = poisson2d(*shape)
+    w = WellMatrix.from_matrix_market(mm, window_rows=16)
+    dense = _dense_of(mm)
+    x = np.random.default_rng(0).standard_normal(mm.num_columns)
+    np.testing.assert_allclose(w.spmv(x), dense @ x, atol=1e-10)
+    assert w.num_entries == mm.num_entries
+
+
+def test_spill_with_tiny_window():
+    mm = random_sparse(90, 90, 8, seed=3)
+    w = WellMatrix.from_matrix_market(mm, window_rows=1)
+    # a 128-column window over a 90-column matrix never spills
+    assert w.num_spilled == 0
+    mm2 = random_sparse(300, 300, 6, seed=4)
+    w2 = WellMatrix.from_matrix_market(mm2, window_rows=1)
+    # columns span 300 > 128: some entries must spill...
+    assert w2.num_spilled > 0
+    assert w2.spill_fraction < 1.0
+    # ...and the result still matches
+    dense = _dense_of(mm2)
+    x = np.random.default_rng(5).standard_normal(300)
+    np.testing.assert_allclose(w2.spmv(x), dense @ x, atol=1e-10)
+
+
+def test_device_xla_path_matches_host():
+    mm = random_sparse(200, 150, 5, seed=6)
+    w = WellMatrix.from_matrix_market(mm, window_rows=2)
+    A = device_put_matrix(w)
+    assert isinstance(A, DeviceWell)
+    x = np.random.default_rng(7).standard_normal(150)
+    y = np.asarray(spmv(A, jnp.asarray(x)))
+    np.testing.assert_allclose(y, w.spmv(x), rtol=1e-12)
+
+
+@pytest.mark.parametrize("window_rows", [1, 2, 16])
+def test_pallas_interpret_matches_xla(window_rows):
+    mm = poisson2d(30, 40)
+    w = WellMatrix.from_matrix_market(mm, window_rows=window_rows)
+    A = DeviceWell.from_host(w, dtype=jnp.float32)
+    x = np.random.default_rng(8).standard_normal(mm.num_columns)
+    xj = jnp.asarray(x, jnp.float32)
+    y_pallas = np.asarray(well_spmv(A, xj, interpret=True))
+    assert y_pallas.shape == (mm.num_rows,)
+    y_host = w.spmv(x)
+    np.testing.assert_allclose(y_pallas, y_host, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_interpret_fp64():
+    mm = random_sparse(128, 128, 4, seed=9)
+    w = WellMatrix.from_matrix_market(mm, window_rows=1)
+    A = DeviceWell.from_host(w)   # fp64 under x64 tests
+    x = np.random.default_rng(10).standard_normal(128)
+    y = np.asarray(well_spmv(A, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, w.spmv(x), rtol=1e-12)
+
+
+def test_guards():
+    mm = poisson2d(4, 4)
+    with pytest.raises(MatrixError):
+        WellMatrix.from_matrix_market(mm, window_rows=0)
+    csr = CsrMatrix.from_matrix_market(mm, row_alignment=4)
+    with pytest.raises(MatrixError):
+        WellMatrix.from_csr(csr)
