@@ -32,7 +32,7 @@ from spmv_tpu.errors import SpmvError
 __all__ = ["main", "build_parser"]
 
 SPMV_FORMATS = (
-    "coo", "coo-atomic", "csr", "ell", "hybrid", "dia", "xla-csr"
+    "coo", "coo-atomic", "csr", "ell", "hybrid", "dia", "well", "xla-csr"
 )
 
 

@@ -30,6 +30,7 @@ from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.ell import EllMatrix
 from spmv_tpu.models.hybrid import HybridMatrix
+from spmv_tpu.models.well import WellMatrix
 from spmv_tpu.perfmodel.layout import VirtualLayout
 from spmv_tpu.perfmodel.refstring import (
     IDX,
@@ -54,6 +55,7 @@ KERNEL_NAMES = (
     "ell",
     "hybrid",
     "dia",
+    "well",
     "xla-csr",
 )
 
@@ -491,6 +493,73 @@ class DiaKernel(_MatrixKernel):
         return d
 
 
+class WellKernel(_MatrixKernel):
+    """WELL (windowed sliced-ELL) kernel — the TPU-native general-
+    matrix format with the Pallas shuffle-gather fast path
+    (spmv_tpu.ops.pallas_kernels.well_spmv); no reference counterpart
+    (see spmv_tpu/models/well.py)."""
+
+    name = "well"
+
+    def __init__(self, *args, window_rows: int = 4, **kw):
+        super().__init__(*args, **kw)
+        self.window_rows = window_rows
+
+    def _convert(self, mm):
+        return WellMatrix.from_matrix_market(
+            mm, window_rows=self.window_rows
+        )
+
+    def _make_layout(self):
+        m = self.matrix
+        lay = VirtualLayout()
+        lay.allocate("value", m.value.size, VAL)
+        lay.allocate("local_index", m.local_index.size, IDX)
+        lay.allocate("x", m.num_columns, VAL)
+        lay.allocate("y", m.num_rows, VAL)
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        raise KernelError(
+            "Memory reference strings are not implemented for the "
+            "'well' kernel; its traffic model is the chunk/window "
+            "accounting in describe() — use csr/ell/dia for "
+            "simulation mode"
+        )
+
+    def run_fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        from spmv_tpu.models.device import DeviceWell, default_value_dtype
+        from spmv_tpu.ops.pallas_kernels import well_spmv
+
+        A = DeviceWell.from_host(self.matrix)
+        on_cpu = jax.default_backend() == "cpu"
+        x = jnp.ones((self.matrix.num_columns,), default_value_dtype())
+
+        def step(v, A):
+            y = well_spmv(A, v[: A.num_columns], interpret=on_cpu)
+            return jnp.resize(y, v.shape)
+
+        return step, (x, A)
+
+    def bytes_per_run(self) -> int:
+        m = self.matrix
+        b = m.value.size * (VAL + IDX)
+        if m.spill is not None:
+            b += m.spill.num_entries * (VAL + IDX)
+        return b + (m.num_columns + m.num_rows) * VAL
+
+    def describe(self) -> dict:
+        d = super().describe()
+        d["num_chunks"] = self.matrix.num_chunks
+        d["window_rows"] = self.matrix.window_rows
+        d["spill_fraction"] = self.matrix.spill_fraction
+        d["fill_ratio"] = self.matrix.fill_ratio
+        return d
+
+
 def _x64() -> bool:
     try:
         import jax
@@ -517,6 +586,7 @@ def make_kernel(
         "ell": EllKernel,
         "hybrid": HybridKernel,
         "dia": DiaKernel,
+        "well": WellKernel,
         "xla-csr": XlaCsrKernel,
     }
     if name not in classes:

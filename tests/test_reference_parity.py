@@ -11,7 +11,14 @@ import numpy as np
 import pytest
 
 from spmv_tpu.io import parse_matrix_market
-from spmv_tpu.models import CooMatrix, CsrMatrix, EllMatrix, HybridMatrix
+from spmv_tpu.models import (
+    CooMatrix,
+    CsrMatrix,
+    DiaMatrix,
+    EllMatrix,
+    HybridMatrix,
+    WellMatrix,
+)
 
 
 @pytest.mark.parametrize(
@@ -22,6 +29,8 @@ from spmv_tpu.models import CooMatrix, CsrMatrix, EllMatrix, HybridMatrix
         EllMatrix.from_matrix_market,
         lambda mm: EllMatrix.from_matrix_market(mm, skip_padding=True),
         HybridMatrix.from_matrix_market,
+        DiaMatrix.from_matrix_market,
+        WellMatrix.from_matrix_market,
     ],
 )
 def test_poisson2d_spmv_matches_reference(reference_poisson2d, fmt):
@@ -39,3 +48,34 @@ def test_poisson2d_row_stats(reference_poisson2d):
     mm = parse_matrix_market(mtx)
     assert mm.max_row_length() == 9
     assert int(mm.row_lengths().sum()) == 2417
+
+
+def test_poisson2d_device_paths_match_reference(reference_poisson2d):
+    """fp64 device (XLA) and Pallas-interpret paths vs the reference's
+    expected product, same l2 gate as test_csr-matrix.cpp:105-116."""
+    import jax.numpy as jnp
+
+    from spmv_tpu.models.device import (
+        DeviceDia,
+        DeviceWell,
+        device_put_matrix,
+    )
+    from spmv_tpu.ops import dia_spmv, spmv, well_spmv
+
+    mtx, b, expected = reference_poisson2d
+    mm = parse_matrix_market(mtx)
+    bj = jnp.asarray(b)
+
+    for fmt in (CooMatrix, CsrMatrix, EllMatrix, HybridMatrix,
+                DiaMatrix, WellMatrix):
+        A = device_put_matrix(fmt.from_matrix_market(mm))
+        y = np.asarray(spmv(A, bj))
+        assert np.linalg.norm(y - expected) < 1e-12, fmt
+
+    Ad = DeviceDia.from_host(DiaMatrix.from_matrix_market(mm))
+    y = np.asarray(dia_spmv(Ad, bj, tile_rows=8, interpret=True))
+    assert np.linalg.norm(y - expected) < 1e-12
+
+    Aw = DeviceWell.from_host(WellMatrix.from_matrix_market(mm))
+    y = np.asarray(well_spmv(Aw, bj, interpret=True))
+    assert np.linalg.norm(y - expected) < 1e-12
