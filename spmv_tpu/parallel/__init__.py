@@ -27,6 +27,14 @@ from spmv_tpu.parallel.shard import (
     make_sharded_matvec,
 )
 from spmv_tpu.parallel.halo import communication_volume, HaloPlan, build_halo_plan
+from spmv_tpu.parallel.dia_shard import (
+    ShardedDia,
+    shard_dia,
+    sharded_dia_spmv,
+    make_sharded_dia_matvec,
+    stack_dia_vector,
+    unstack_dia_vector,
+)
 
 __all__ = [
     "make_mesh",
@@ -40,4 +48,10 @@ __all__ = [
     "communication_volume",
     "HaloPlan",
     "build_halo_plan",
+    "ShardedDia",
+    "shard_dia",
+    "sharded_dia_spmv",
+    "make_sharded_dia_matvec",
+    "stack_dia_vector",
+    "unstack_dia_vector",
 ]
