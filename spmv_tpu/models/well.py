@@ -97,9 +97,55 @@ class WellMatrix:
 
     @classmethod
     def _build(cls, num_rows, num_columns, row_ptr, cols, vals,
-               window_rows, max_rounds: int = 4):
+               window_rows, max_rounds: int = 4,
+               use_native: bool = True):
         if window_rows < 1:
             raise MatrixError("window_rows must be >= 1")
+        row_ptr = np.asarray(row_ptr, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals, dtype=VALUE_DTYPE)
+
+        from spmv_tpu.models import _well_native
+
+        if use_native and _well_native.available():
+            (value, local_index, window_start, group_of_chunk,
+             sp_r, sp_c, sp_v) = _well_native.pack(
+                num_rows, num_columns, row_ptr, cols, vals,
+                window_rows, max_rounds,
+            )
+        else:
+            (value, local_index, window_start, group_of_chunk,
+             sp_r, sp_c, sp_v) = cls._pack_py(
+                num_rows, row_ptr, cols, vals, window_rows, max_rounds
+            )
+
+        spill = None
+        if sp_r.size:
+            order = np.lexsort((sp_c, sp_r))
+            r, c, v = sp_r[order], sp_c[order], sp_v[order]
+            sp_lengths = np.bincount(r, minlength=num_rows)
+            sp_ptr = np.zeros(num_rows + 1, dtype=np.int64)
+            np.cumsum(sp_lengths, out=sp_ptr[1:])
+            spill = CsrMatrix(
+                num_rows, num_columns, int(r.size), 1,
+                sp_ptr, c.astype(np.int32), v,
+            )
+
+        return cls(
+            num_rows=int(num_rows),
+            num_columns=int(num_columns),
+            num_entries=int(row_ptr[-1]),
+            window_rows=int(window_rows),
+            value=value,
+            local_index=local_index,
+            window_start=window_start,
+            group_of_chunk=group_of_chunk,
+            spill=spill,
+        )
+
+    @classmethod
+    def _pack_py(cls, num_rows, row_ptr, cols, vals, window_rows,
+                 max_rounds):
         m = int(window_rows)
         wcols = m * LANE
         row_ptr = np.asarray(row_ptr, dtype=np.int64)
@@ -191,14 +237,16 @@ class WellMatrix:
                 rows_cur = np.empty(0, dtype=np.int64)
                 break
 
-        sp_rows = rows_cur.tolist()
-        sp_cols = cols_cur[:len(sp_rows)].tolist() if sp_rows else []
-        sp_vals = vals_cur[:len(sp_rows)].tolist() if sp_rows else []
+        n_sp = rows_cur.size
+        sp_r = rows_cur
+        sp_c = cols_cur[:n_sp] if n_sp else np.empty(0, np.int64)
+        sp_v = vals_cur[:n_sp] if n_sp else np.empty(0, VALUE_DTYPE)
 
         # The Pallas kernel zeroes an output block only when its first
         # chunk arrives: any 8-group output block with NO chunks at all
         # would stay uninitialized.  Insert one zero chunk per empty
         # block and keep chunks sorted by group.
+        num_groups = max(-(-num_rows // GROUP_ROWS), 1)
         num_blocks = -(-num_groups // 8)
         seen = {g // 8 for g in chunk_grp}
         for blk in range(num_blocks):
@@ -210,36 +258,18 @@ class WellMatrix:
                 chunk_ws.append(np.zeros(SLOT_SUBLANES, dtype=np.int32))
                 chunk_grp.append(blk * 8)
         order = np.argsort(np.asarray(chunk_grp), kind="stable")
-        chunk_val = [chunk_val[i] for i in order]
-        chunk_loc = [chunk_loc[i] for i in order]
-        chunk_ws = [chunk_ws[i] for i in order]
-        chunk_grp = [chunk_grp[i] for i in order]
-
-        spill = None
-        if sp_rows:
-            order = np.lexsort((sp_cols, sp_rows))
-            r = np.asarray(sp_rows, dtype=np.int64)[order]
-            c = np.asarray(sp_cols, dtype=np.int64)[order]
-            v = np.asarray(sp_vals, dtype=VALUE_DTYPE)[order]
-            sp_lengths = np.bincount(r, minlength=num_rows)
-            sp_ptr = np.zeros(num_rows + 1, dtype=np.int64)
-            np.cumsum(sp_lengths, out=sp_ptr[1:])
-            spill = CsrMatrix(
-                num_rows, num_columns, int(r.size), 1,
-                sp_ptr, c.astype(np.int32), v,
-            )
-
-        return cls(
-            num_rows=int(num_rows),
-            num_columns=int(num_columns),
-            num_entries=int(row_ptr[-1]),
-            window_rows=m,
-            value=np.stack(chunk_val),
-            local_index=np.stack(chunk_loc),
-            window_start=np.stack(chunk_ws).astype(np.int32),
-            group_of_chunk=np.asarray(chunk_grp, dtype=np.int32),
-            spill=spill,
+        value = np.stack([chunk_val[i] for i in order])
+        local_index = np.stack(
+            [chunk_loc[i] for i in order]
+        ).astype(np.int32)
+        window_start = np.stack(
+            [chunk_ws[i] for i in order]
+        ).astype(np.int32)
+        group_of_chunk = np.asarray(
+            [chunk_grp[i] for i in order], dtype=np.int32
         )
+        return (value, local_index, window_start, group_of_chunk,
+                sp_r, sp_c, sp_v)
 
     # ------------------------------------------------------------------
     @property

@@ -153,4 +153,38 @@ def spmm(A, X: jax.Array) -> jax.Array:
         return (A.value[..., None] * gathered).sum(axis=1)[: A.num_rows]
     if isinstance(A, DeviceHybrid):
         return spmm(A.ell, X)[: A.num_rows] + spmm(A.coo, X)[: A.num_rows]
+    if isinstance(A, DeviceDia):
+        # Shifted-slice formulation per diagonal, vectorized over the k
+        # columns of X — still zero gathers.
+        n = A.padded_rows
+        min_off = min(A.offsets) if A.offsets else 0
+        max_off = max(A.offsets) if A.offsets else 0
+        front = max(0, -min_off)
+        back = max(0, n + max_off - X.shape[0])
+        xp = jnp.pad(X.astype(A.data.dtype), ((front, back), (0, 0)))
+        y = jnp.zeros((n, X.shape[1]), dtype=A.data.dtype)
+        flat = A.data.reshape(A.data.shape[0], n)
+        for kd, off in enumerate(A.offsets):
+            win = jax.lax.dynamic_slice(
+                xp, (front + off, 0), (n, X.shape[1])
+            )
+            y = y + flat[kd][:, None] * win
+        return y[: A.num_rows]
+    if isinstance(A, DeviceWell):
+        xf = X.astype(A.value.dtype)
+        ws = A.window_start.transpose(0, 2, 1).reshape(
+            A.num_chunks, SUBLANE
+        )
+        xcol = ws[:, :, None] * LANE + A.local_index
+        gathered = jnp.take(xf, xcol, axis=0, mode="clip")
+        contrib = (A.value[..., None] * gathered).sum(axis=1)
+        y = jax.ops.segment_sum(
+            contrib,
+            A.group_of_chunk.reshape(-1),
+            num_segments=A.num_groups,
+            indices_are_sorted=True,
+        ).reshape(-1, X.shape[1])[: A.num_rows]
+        if A.spill is not None:
+            y = y + spmm(A.spill, xf)[: A.num_rows]
+        return y
     raise TypeError(f"unsupported device matrix type: {type(A)!r}")

@@ -102,3 +102,21 @@ def test_conjugate_gradient_poisson(reference_poisson2d=None):
     )(jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6, atol=1e-8)
     assert int(res.iterations) < 2000
+
+
+def test_spmm_dia_and_well_match_host():
+    import jax.numpy as jnp
+
+    from spmv_tpu.io.generate import poisson2d
+    from spmv_tpu.models import DiaMatrix, WellMatrix
+    from spmv_tpu.models.device import device_put_matrix
+    from spmv_tpu.ops import spmm
+
+    mm = poisson2d(11, 13)
+    X = np.random.default_rng(0).standard_normal((mm.num_columns, 5))
+    for fmt in (DiaMatrix, WellMatrix):
+        host = fmt.from_matrix_market(mm)
+        A = device_put_matrix(host)
+        Y = np.asarray(spmm(A, jnp.asarray(X)))
+        want = np.stack([host.spmv(X[:, j]) for j in range(5)], axis=1)
+        np.testing.assert_allclose(Y, want, rtol=1e-12)
