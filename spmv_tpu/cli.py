@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream a large buffer between profiled runs to "
                         "evict device-resident state (the TPU analogue "
                         "of the reference's cache flushing)")
+    p.add_argument("--jax-profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace (xplane) of the "
+                        "profiled runs into DIR (the analogue of the "
+                        "reference's perf-event capture)")
     p.add_argument("--list-devices", action="store_true",
                    help="list attached JAX devices and built-in machine "
                         "models (the analogue of --list-perf-events)")
@@ -152,11 +156,18 @@ def _profile(args, out) -> None:
         def flusher():
             scrub(sweep).block_until_ready()
 
-    runs = profile_kernel_fn(
-        step, fargs, runs=args.profile, warmup=True,
-        between_runs=flusher,
+    import contextlib
+
+    trace_ctx = (
+        jax.profiler.trace(args.jax_profile)
+        if args.jax_profile else contextlib.nullcontext()
     )
-    chained = time_kernel(step, fargs)
+    with trace_ctx:
+        runs = profile_kernel_fn(
+            step, fargs, runs=args.profile, warmup=True,
+            between_runs=flusher,
+        )
+        chained = time_kernel(step, fargs)
 
     config_doc = None
     if args.trace_config:
@@ -181,6 +192,7 @@ def _profile(args, out) -> None:
         # Reference report shape (profile-kernel.cpp:376-391): wall
         # times of N whole runs.  On a tunneled backend these include
         # dispatch/fetch; the chained estimate isolates device time.
+        "jax_profile_dir": args.jax_profile,
         "execution_time": runs.to_json(),
         "device_seconds_per_iteration": t,
         "roofline": roof,

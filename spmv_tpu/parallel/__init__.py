@@ -27,6 +27,12 @@ from spmv_tpu.parallel.shard import (
     make_sharded_matvec,
 )
 from spmv_tpu.parallel.halo import communication_volume, HaloPlan, build_halo_plan
+from spmv_tpu.parallel.distributed import (
+    initialize_distributed,
+    is_multi_host,
+    global_mesh,
+    host_local_info,
+)
 from spmv_tpu.parallel.dia_shard import (
     ShardedDia,
     shard_dia,
@@ -54,4 +60,8 @@ __all__ = [
     "make_sharded_dia_matvec",
     "stack_dia_vector",
     "unstack_dia_vector",
+    "initialize_distributed",
+    "is_multi_host",
+    "global_mesh",
+    "host_local_info",
 ]

@@ -128,3 +128,21 @@ def test_nnz_balanced_beats_equal_rows_on_skew(mesh8):
     # The rectangular per-shard entry budget (max over shards) is the
     # sharded kernel's wall-clock proxy; nnz balancing must not lose.
     assert a_nnz.entries_per_shard <= a_rows.entries_per_shard
+
+
+def test_distributed_helpers_single_process():
+    from spmv_tpu.parallel import (
+        global_mesh,
+        host_local_info,
+        initialize_distributed,
+        is_multi_host,
+    )
+
+    # single-process: no-op, reports sane topology
+    assert initialize_distributed() is False
+    assert is_multi_host() is False
+    info = host_local_info()
+    assert info["process_count"] == 1
+    assert info["global_device_count"] == 8  # virtual CPU mesh
+    mesh = global_mesh()
+    assert mesh.devices.size == 8
