@@ -61,6 +61,10 @@ __all__ = [
     "DiaPlan",
     "well_spmv",
     "well_spmv_padded",
+    "dia_spmm",
+    "dia_spmm_core",
+    "dia_prepare_X",
+    "dia_extract_Y",
 ]
 
 
@@ -401,3 +405,152 @@ def well_spmv(
 
         y = y + _xla_spmv(A.spill, x.astype(y.dtype))
     return y
+
+
+# ----------------------------------------------------------------------
+# DIA SpMM: multi-vector stencil kernel.  X columns ride a leading k
+# dimension through the same padded layout and sliding HBM->VMEM
+# window as dia_spmv_core; diagonal data is fetched ONCE per tile and
+# reused across all k columns (the amortization BASELINE config #4 is
+# about — the XLA spmm formulation reaches only ~18% of roofline
+# because it materializes shifted copies per column).
+# ----------------------------------------------------------------------
+
+
+def _dia_spmm_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan,
+                     nvec, dtype):
+    w = plan.tile_rows
+    fb, nb, wr = plan.front_blocks, plan.num_tiles, plan.window_rows
+    j = pl.program_id(0)
+    active = jnp.logical_and(j >= fb, j < fb + nb)
+
+    def window_dma(slot, jj):
+        start = jj * w + plan.smin_row
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(start, wr), :],
+            win.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(j == fb)
+    def _():
+        window_dma(fb % 2, fb).start()
+
+    @pl.when(jnp.logical_and(active, j + 1 < fb + nb))
+    def _():
+        window_dma((j + 1) % 2, j + 1).start()
+
+    @pl.when(active)
+    def _():
+        window_dma(j % 2, j).wait()
+        slot = j % 2
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (nvec, w, LANE), 2
+        )
+        acc = jnp.zeros((nvec, w, LANE), dtype=dtype)
+        for kd, off in enumerate(offsets):
+            s, t = divmod(off, LANE)
+            lo = s - plan.smin_row
+            if t == 0:
+                shifted = win[slot, :, pl.ds(lo, w), :]
+            else:
+                rows = win[slot, :, pl.ds(lo, w + 1), :]
+                rolled = pltpu.roll(rows, LANE - t, axis=2)
+                shifted = jnp.where(
+                    lane < LANE - t,
+                    jax.lax.slice_in_dim(rolled, 0, w, axis=1),
+                    jax.lax.slice_in_dim(rolled, 1, w + 1, axis=1),
+                )
+            acc = acc + d_ref[kd][None] * shifted
+        y_ref[:] = acc
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        y_ref[:] = jnp.zeros((nvec, w, LANE), dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def dia_spmm_core(
+    A: DeviceDia, x3d: jax.Array, tile_rows: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Y = A @ X in the padded layout: x3d (k, total_rows, LANE) from
+    :func:`dia_prepare_X`; output in the same layout (chainable for
+    square matrices, like dia_spmv_core)."""
+    plan = make_plan(A, tile_rows)
+    w = plan.tile_rows
+    d, r0, _ = A.data.shape
+    nvec = x3d.shape[0]
+    nbw = plan.num_tiles * w
+    data = A.data
+    if nbw != r0:
+        data = jnp.pad(data, ((0, 0), (0, nbw - r0), (0, 0)))
+    if x3d.shape[1:] != (plan.total_rows, LANE):
+        raise MatrixError(
+            f"x3d has shape {x3d.shape}, expected "
+            f"(k, {plan.total_rows}, {LANE}) — use dia_prepare_X"
+        )
+
+    kernel = functools.partial(
+        _dia_spmm_kernel, offsets=A.offsets, plan=plan, nvec=nvec,
+        dtype=data.dtype,
+    )
+    fb, nb = plan.front_blocks, plan.num_tiles
+    return pl.pallas_call(
+        kernel,
+        grid=(plan.grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (d, w, LANE),
+                lambda j: (0, jnp.clip(j - fb, 0, nb - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nvec, w, LANE), lambda j: (0, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nvec, plan.total_rows, LANE), data.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, nvec, plan.window_rows, LANE), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x3d.astype(data.dtype), data)
+
+
+def dia_prepare_X(
+    A: DeviceDia, X: jax.Array, tile_rows: int = 256
+) -> jax.Array:
+    """(num_columns, k) multi-vector -> (k, total_rows, LANE) layout."""
+    plan = make_plan(A, tile_rows)
+    off = plan.x_offset
+    xt = X.T  # (k, n)
+    padded = jnp.pad(
+        xt, ((0, 0), (off, plan.total_rows * LANE - off - X.shape[0]))
+    )
+    return padded.reshape(X.shape[1], plan.total_rows, LANE)
+
+
+def dia_extract_Y(
+    A: DeviceDia, y3d: jax.Array, tile_rows: int = 256
+) -> jax.Array:
+    """Padded layout -> (num_rows, k)."""
+    plan = make_plan(A, tile_rows)
+    off = plan.x_offset
+    k = y3d.shape[0]
+    return y3d.reshape(k, -1)[:, off: off + A.num_rows].T
+
+
+def dia_spmm(
+    A: DeviceDia, X: jax.Array, tile_rows: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Y = A @ X for X of shape (num_columns, k), true row count."""
+    y3d = dia_spmm_core(
+        A, dia_prepare_X(A, X, tile_rows), tile_rows, interpret
+    )
+    return dia_extract_Y(A, y3d, tile_rows)

@@ -116,3 +116,20 @@ def test_pallas_fp64_interpret():
     x = np.random.default_rng(6).standard_normal(mm.num_columns)
     y = np.asarray(dia_spmv(A, jnp.asarray(x), tile_rows=8, interpret=True))
     np.testing.assert_allclose(y, dia.spmv(x), rtol=1e-12)
+
+
+def test_pallas_spmm_interpret_matches_host():
+    from spmv_tpu.ops.pallas_kernels import dia_spmm
+
+    mm = poisson2d(13, 17)
+    dia = DiaMatrix.from_matrix_market(mm)
+    A = DeviceDia.from_host(dia, dtype=jnp.float32)
+    X = np.random.default_rng(11).standard_normal(
+        (mm.num_columns, 3)
+    ).astype(np.float32)
+    Y = np.asarray(dia_spmm(A, jnp.asarray(X), tile_rows=8,
+                            interpret=True))
+    want = np.stack([dia.spmv(X[:, j].astype(np.float64))
+                     for j in range(3)], axis=1)
+    assert Y.shape == (mm.num_rows, 3)
+    np.testing.assert_allclose(Y, want, rtol=1e-4, atol=1e-4)
