@@ -20,12 +20,26 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 TILE_ROWS = 512
 BASELINE_FRACTION = 0.80
 
 
 def main() -> None:
+    # The tunneled chip occasionally wedges and self-heals in a few
+    # minutes; one retry keeps the round's benchmark from recording a
+    # transient failure.
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — report, wait, retry once
+        print(f"bench: first attempt failed ({e!r}); retrying in 180s",
+              file=sys.stderr)
+        time.sleep(180)
+        _run()
+
+
+def _run() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -81,8 +95,23 @@ def main() -> None:
         }))
         return
 
-    timing = time_kernel(step, (x2d, A), k_small=2, k_large=10, runs=3)
+    timing = time_kernel(step, (x2d, A), k_small=2, k_large=10, runs=8)
     t = timing.seconds_per_iteration
+
+    # Secondary: multi-vector SpMM (k=4) through the Pallas kernel.
+    from spmv_tpu.ops.pallas_kernels import dia_prepare_X, dia_spmm_core
+
+    k = 4
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    x3d = dia_prepare_X(A, jnp.asarray(X), 256)
+
+    def spmm_step(x3d, A):
+        return dia_spmm_core(A, x3d, tile_rows=256, interpret=interpret)
+
+    t_spmm = time_kernel(
+        spmm_step, (x3d, A), k_small=2, k_large=8, runs=6
+    ).seconds_per_iteration
+    spmm_bytes = dia.num_diagonals * 4 * n + 2 * k * n * 4
 
     # Minimum HBM traffic: diagonals streamed once, x read once,
     # y written once.
@@ -113,6 +142,11 @@ def main() -> None:
             "roofline_s": roof["time_roofline_s"],
             "machine_model": machine.name,
             "checksum_rel_err": rel,
+            "spmm_k": k,
+            "spmm_seconds": t_spmm,
+            "spmm_gnnz_per_s": k * nnz / t_spmm / 1e9,
+            "spmm_roofline_fraction": spmm_bytes / machine.hbm_gbps
+            / 1e9 / t_spmm,
         },
     }
     print(json.dumps(result))
