@@ -28,7 +28,8 @@ import numpy as np
 
 from spmv_tpu.io.matrix_market import MatrixMarket
 
-__all__ = ["find_new_order_rcm", "find_new_order_gp", "bandwidth"]
+__all__ = ["find_new_order_rcm", "find_new_order_gp",
+           "find_new_order_sigma", "bandwidth"]
 
 
 def _adjacency(mm: MatrixMarket):
@@ -177,4 +178,34 @@ def find_new_order_gp(mm: MatrixMarket, num_parts: int = 16) -> np.ndarray:
     order = np.argsort(labels, kind="stable")
     new_order = np.empty(n, dtype=np.int64)
     new_order[order] = np.arange(n, dtype=np.int64)
+    return new_order
+
+
+def find_new_order_sigma(
+    mm: MatrixMarket, sigma: int = 1024
+) -> np.ndarray:
+    """SELL-sigma row ordering: sort rows by descending length within
+    windows of ``sigma`` rows.
+
+    No reference counterpart (the reference's orders are RCM and
+    graph-partition, matrix-market-reorder.cpp); this one serves the
+    WELL format (models.well): rows of similar length land in the same
+    128-row group, so slot columns stay aligned and chunk padding
+    shrinks.  Like every order here it composes with
+    ``MatrixMarket.permute`` — the matrix is permuted once on the host
+    and vectors are permuted at the boundary, which is the TPU-correct
+    place for a permutation (no device gather).
+    """
+    lengths = np.zeros(mm.num_rows, dtype=np.int64)
+    np.add.at(lengths, mm.rows_1based - 1, 1)
+    order = np.arange(mm.num_rows, dtype=np.int64)
+    for start in range(0, mm.num_rows, max(int(sigma), 1)):
+        stop = min(start + sigma, mm.num_rows)
+        window = order[start:stop]
+        # stable: equal lengths keep their relative (e.g. RCM) order
+        key = np.argsort(-lengths[window], kind="stable")
+        order[start:stop] = window[key]
+    # new_order maps old index -> new position (permute() convention)
+    new_order = np.empty_like(order)
+    new_order[order] = np.arange(mm.num_rows, dtype=np.int64)
     return new_order
