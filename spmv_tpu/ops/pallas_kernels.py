@@ -426,8 +426,11 @@ def _dia_spmm_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan,
 
     def window_dma(slot, jj):
         start = jj * w + plan.smin_row
+        # X layout (total_rows, k, LANE): the window slab is one
+        # CONTIGUOUS region — the strided per-column layout measured
+        # 2x slower (experiments, probe 15).
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(start, wr), :],
+            x_hbm.at[pl.ds(start, wr)],
             win.at[slot],
             sems.at[slot],
         )
@@ -445,28 +448,28 @@ def _dia_spmm_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan,
         window_dma(j % 2, j).wait()
         slot = j % 2
         lane = jax.lax.broadcasted_iota(
-            jnp.int32, (nvec, w, LANE), 2
+            jnp.int32, (w, nvec, LANE), 2
         )
-        acc = jnp.zeros((nvec, w, LANE), dtype=dtype)
+        acc = jnp.zeros((w, nvec, LANE), dtype=dtype)
         for kd, off in enumerate(offsets):
             s, t = divmod(off, LANE)
             lo = s - plan.smin_row
             if t == 0:
-                shifted = win[slot, :, pl.ds(lo, w), :]
+                shifted = win[slot, pl.ds(lo, w)]
             else:
-                rows = win[slot, :, pl.ds(lo, w + 1), :]
+                rows = win[slot, pl.ds(lo, w + 1)]
                 rolled = pltpu.roll(rows, LANE - t, axis=2)
                 shifted = jnp.where(
                     lane < LANE - t,
-                    jax.lax.slice_in_dim(rolled, 0, w, axis=1),
-                    jax.lax.slice_in_dim(rolled, 1, w + 1, axis=1),
+                    jax.lax.slice_in_dim(rolled, 0, w, axis=0),
+                    jax.lax.slice_in_dim(rolled, 1, w + 1, axis=0),
                 )
-            acc = acc + d_ref[kd][None] * shifted
+            acc = acc + d_ref[kd][:, None, :] * shifted
         y_ref[:] = acc
 
     @pl.when(jnp.logical_not(active))
     def _():
-        y_ref[:] = jnp.zeros((nvec, w, LANE), dtype=dtype)
+        y_ref[:] = jnp.zeros((w, nvec, LANE), dtype=dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
@@ -474,21 +477,21 @@ def dia_spmm_core(
     A: DeviceDia, x3d: jax.Array, tile_rows: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Y = A @ X in the padded layout: x3d (k, total_rows, LANE) from
+    """Y = A @ X in the padded layout: x3d (total_rows, k, LANE) from
     :func:`dia_prepare_X`; output in the same layout (chainable for
     square matrices, like dia_spmv_core)."""
     plan = make_plan(A, tile_rows)
     w = plan.tile_rows
     d, r0, _ = A.data.shape
-    nvec = x3d.shape[0]
+    nvec = x3d.shape[1]
     nbw = plan.num_tiles * w
     data = A.data
     if nbw != r0:
         data = jnp.pad(data, ((0, 0), (0, nbw - r0), (0, 0)))
-    if x3d.shape[1:] != (plan.total_rows, LANE):
+    if (x3d.shape[0], x3d.shape[2]) != (plan.total_rows, LANE):
         raise MatrixError(
             f"x3d has shape {x3d.shape}, expected "
-            f"(k, {plan.total_rows}, {LANE}) — use dia_prepare_X"
+            f"({plan.total_rows}, k, {LANE}) — use dia_prepare_X"
         )
 
     kernel = functools.partial(
@@ -508,14 +511,14 @@ def dia_spmm_core(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (nvec, w, LANE), lambda j: (0, j, 0),
+            (w, nvec, LANE), lambda j: (j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (nvec, plan.total_rows, LANE), data.dtype
+            (plan.total_rows, nvec, LANE), data.dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, nvec, plan.window_rows, LANE), data.dtype),
+            pltpu.VMEM((2, plan.window_rows, nvec, LANE), data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -525,14 +528,15 @@ def dia_spmm_core(
 def dia_prepare_X(
     A: DeviceDia, X: jax.Array, tile_rows: int = 256
 ) -> jax.Array:
-    """(num_columns, k) multi-vector -> (k, total_rows, LANE) layout."""
+    """(num_columns, k) multi-vector -> (total_rows, k, LANE) layout."""
     plan = make_plan(A, tile_rows)
     off = plan.x_offset
-    xt = X.T  # (k, n)
+    k = X.shape[1]
     padded = jnp.pad(
-        xt, ((0, 0), (off, plan.total_rows * LANE - off - X.shape[0]))
+        X, ((off, plan.total_rows * LANE - off - X.shape[0]), (0, 0))
     )
-    return padded.reshape(X.shape[1], plan.total_rows, LANE)
+    # flat index i of column j lives at [i // LANE, j, i % LANE]
+    return padded.reshape(plan.total_rows, LANE, k).transpose(0, 2, 1)
 
 
 def dia_extract_Y(
@@ -541,8 +545,9 @@ def dia_extract_Y(
     """Padded layout -> (num_rows, k)."""
     plan = make_plan(A, tile_rows)
     off = plan.x_offset
-    k = y3d.shape[0]
-    return y3d.reshape(k, -1)[:, off: off + A.num_rows].T
+    k = y3d.shape[1]
+    flat = y3d.transpose(0, 2, 1).reshape(-1, k)
+    return flat[off: off + A.num_rows]
 
 
 def dia_spmm(
