@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream a large buffer between profiled runs to "
                         "evict device-resident state (the TPU analogue "
                         "of the reference's cache flushing)")
+    p.add_argument("--reorder", choices=("none", "rcm", "gp", "sigma"),
+                   default="none",
+                   help="reorder the matrix before conversion "
+                        "(equivalent to the reference's __RCM/__GP "
+                        "path suffixes, plus the SELL-sigma row sort)")
     p.add_argument("--jax-profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace (xplane) of the "
                         "profiled runs into DIR (the analogue of the "
@@ -88,6 +93,17 @@ def _make_kernel(args):
             "either --matrix or --triad N is required "
             "(see --help)"
         )
+    if args.reorder != "none":
+        from spmv_tpu.io.matrix_market import load_matrix
+        from spmv_tpu.models import reorder as _reorder
+
+        mm = load_matrix(args.matrix, verbose=args.verbose)
+        order = {
+            "rcm": _reorder.find_new_order_rcm,
+            "gp": _reorder.find_new_order_gp,
+            "sigma": _reorder.find_new_order_sigma,
+        }[args.reorder](mm)
+        return make_kernel(args.spmv_format, mm=mm.permute(order))
     return make_kernel(args.spmv_format, matrix_path=args.matrix)
 
 

@@ -384,3 +384,26 @@ def load_matrix(
             order = find_new_order_gp(mm, num_parts=num_parts)
         mm = mm.permute(order)
     return mm
+
+
+def write_matrix_market(mm: MatrixMarket, path_or_stream) -> None:
+    """Serialize a MatrixMarket object back to .mtx text.
+
+    The reference only reads Matrix Market; writing closes the loop for
+    generating test fixtures and exporting reordered matrices.  Output
+    is always ``coordinate real general`` (symmetry is not re-folded).
+    """
+    own = isinstance(path_or_stream, (str, bytes))
+    stream = open(path_or_stream, "w") if own else path_or_stream
+    try:
+        stream.write("%%MatrixMarket matrix coordinate real general\n")
+        for comment in mm.comments:
+            stream.write(f"%{comment}\n")
+        stream.write(
+            f"{mm.num_rows} {mm.num_columns} {mm.num_entries}\n"
+        )
+        for r, c, v in zip(mm.rows_1based, mm.cols_1based, mm.values):
+            stream.write(f"{int(r)} {int(c)} {float(v)!r}\n")
+    finally:
+        if own:
+            stream.close()

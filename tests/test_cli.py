@@ -139,3 +139,32 @@ def test_errors_map_to_exit_codes(matrix_file, config_file, capsys):
     # mkl-csr-spmv.cpp:74-81)
     assert _run(["--matrix", matrix_file, "--trace-config", config_file,
                  "--spmv-format", "xla-csr"])[0] == 1
+
+
+def test_reorder_option(matrix_file, config_file):
+    for mode in ("rcm", "sigma"):
+        rc, text = _run(
+            ["--matrix", matrix_file, "--trace-config", config_file,
+             "--spmv-format", "csr", "--reorder", mode]
+        )
+        assert rc == 0
+        doc = json.loads(text)
+        assert doc["kernel"]["nonzeros"] == 8
+
+
+def test_write_matrix_market_roundtrip(tmp_path):
+    import numpy as np
+
+    from spmv_tpu.io import (
+        load_matrix,
+        parse_matrix_market,
+        write_matrix_market,
+    )
+
+    mm = parse_matrix_market(MTX)
+    p = tmp_path / "roundtrip.mtx"
+    write_matrix_market(mm, str(p))
+    mm2 = load_matrix(str(p))
+    np.testing.assert_array_equal(mm.rows_1based, mm2.rows_1based)
+    np.testing.assert_array_equal(mm.cols_1based, mm2.cols_1based)
+    np.testing.assert_allclose(mm.values, mm2.values)
