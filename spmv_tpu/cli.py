@@ -180,7 +180,7 @@ def _profile(args, out) -> None:
     )
     with trace_ctx:
         runs = profile_kernel_fn(
-            step, fargs, runs=args.profile, warmup=True,
+            step, fargs, runs=args.profile, warmup=args.warmup,
             between_runs=flusher,
         )
         chained = time_kernel(step, fargs)
@@ -198,7 +198,7 @@ def _profile(args, out) -> None:
     doc = {
         "trace_config": config_doc,
         "kernel": kernel.describe(),
-        "warmup": True,
+        "warmup": bool(args.warmup),
         "flush_caches": bool(args.flush_caches),
         "runs": args.profile,
         "device": {

@@ -33,6 +33,12 @@ from spmv_tpu.parallel.distributed import (
     global_mesh,
     host_local_info,
 )
+from spmv_tpu.parallel.well_shard import (
+    ShardedWell,
+    shard_well,
+    sharded_well_spmv,
+    make_sharded_well_matvec,
+)
 from spmv_tpu.parallel.dia_shard import (
     ShardedDia,
     shard_dia,
@@ -64,4 +70,8 @@ __all__ = [
     "is_multi_host",
     "global_mesh",
     "host_local_info",
+    "ShardedWell",
+    "shard_well",
+    "sharded_well_spmv",
+    "make_sharded_well_matvec",
 ]

@@ -92,3 +92,55 @@ def test_guards():
             offsets=np.array([0]), data=np.zeros((1, 4)),
         )
         shard_dia(rect, 2)
+
+
+# --- sharded WELL (general-matrix path) ------------------------------
+
+
+def test_sharded_well_matches_host(mesh):
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.models import CsrMatrix
+    from spmv_tpu.parallel import shard_well, sharded_well_spmv
+    from spmv_tpu.parallel.shard import stack_vector, unstack_vector
+
+    mm = random_sparse(700, 700, 6, seed=20)
+    csr = CsrMatrix.from_matrix_market(mm)
+    A = shard_well(csr, 8, window_rows=2)
+    x = np.random.default_rng(21).standard_normal(700)
+    xs = stack_vector(x, A, mesh=mesh)
+    ys = sharded_well_spmv(A, xs, mesh)
+    y = unstack_vector(ys, A)
+
+    # ground truth from the host CSR
+    want = np.zeros(700)
+    for i in range(700):
+        s, e = csr.row_ptr[i], csr.row_ptr[i + 1]
+        want[i] = (csr.value[s:e] * x[csr.column_index[s:e]]).sum()
+    np.testing.assert_allclose(y, want, rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_well_cg(mesh):
+    from spmv_tpu.models import CsrMatrix
+    from spmv_tpu.parallel import make_sharded_well_matvec, shard_well
+    from spmv_tpu.parallel.shard import stack_vector, unstack_vector
+
+    mm = poisson2d(20, 20)
+    csr = CsrMatrix.from_matrix_market(mm)
+    A = shard_well(csr, 8, window_rows=4)
+    rng = np.random.default_rng(22)
+    x_true = rng.standard_normal(400)
+    b = np.zeros(400)
+    for i in range(400):
+        s, e = csr.row_ptr[i], csr.row_ptr[i + 1]
+        b[i] = (csr.value[s:e] * x_true[csr.column_index[s:e]]).sum()
+    bs = stack_vector(b, A, mesh=mesh)
+    matvec = make_sharded_well_matvec(A, mesh)
+
+    @jax.jit
+    def solve(bs):
+        return conjugate_gradient(matvec, bs, tol=1e-10,
+                                  max_iterations=2000)
+
+    res = solve(bs)
+    x = unstack_vector(res.x, A)
+    assert np.linalg.norm(x - x_true) / np.linalg.norm(x_true) < 1e-6
