@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream a large buffer between profiled runs to "
                         "evict device-resident state (the TPU analogue "
                         "of the reference's cache flushing)")
+    p.add_argument("--cg", type=int, metavar="MAXITER", default=0,
+                   help="solve A x = b (b = A @ ones) with conjugate "
+                        "gradient up to MAXITER iterations on the "
+                        "device and report convergence + timing")
+    p.add_argument("--cg-tol", type=float, default=1e-6,
+                   help="CG relative-residual tolerance (default 1e-6)")
     p.add_argument("--reorder", choices=("none", "rcm", "gp", "sigma"),
                    default="none",
                    help="reorder the matrix before conversion "
@@ -145,6 +151,66 @@ def _simulate(args, out) -> None:
         config, kernel, warmup=args.warmup, verbose=args.verbose
     )
     dump_json(trace.to_json(), out)
+
+
+def _solve_cg(args, out) -> None:
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from spmv_tpu.models.device import (
+        default_value_dtype,
+        device_put_matrix,
+    )
+    from spmv_tpu.ops import conjugate_gradient, spmv
+    from spmv_tpu.utils.jsonio import dump_json
+
+    kernel = _make_kernel(args)
+    if kernel.name == "triad":
+        raise SpmvError("--cg needs a matrix kernel, not triad")
+    kernel.init(verbose=args.verbose)
+    m = kernel.matrix
+    if m.num_rows != m.num_columns:
+        raise SpmvError("--cg requires a square matrix")
+
+    A = device_put_matrix(m)
+    ones = jnp.ones((m.num_columns,), default_value_dtype())
+    b = spmv(A, ones)
+
+    @jax.jit
+    def solve(b):
+        return conjugate_gradient(
+            lambda v: spmv(A, v), b,
+            tol=args.cg_tol, max_iterations=args.cg,
+        )
+
+    res = solve(b)
+    jax.block_until_ready(res)
+    t0 = _time.perf_counter()
+    res = solve(b)
+    jax.block_until_ready(res)
+    seconds = _time.perf_counter() - t0
+
+    import numpy as np
+
+    x = np.asarray(res.x)
+    err = float(
+        np.linalg.norm(x - 1.0) / np.sqrt(m.num_rows)
+    )
+    doc = {
+        "kernel": kernel.describe(),
+        "cg": {
+            "max_iterations": args.cg,
+            "tolerance": args.cg_tol,
+            "iterations": int(res.iterations),
+            "residual_norm": float(res.residual_norm),
+            "solution_rms_error_vs_ones": err,
+            "seconds": seconds,
+            "device": jax.devices()[0].platform,
+        },
+    }
+    dump_json(doc, out)
 
 
 def _profile(args, out) -> None:
@@ -227,6 +293,8 @@ def main(argv=None, out=None) -> int:
     try:
         if args.list_devices:
             _list_devices(out)
+        elif args.cg > 0:
+            _solve_cg(args, out)
         elif args.profile > 0:
             _profile(args, out)
         else:

@@ -168,3 +168,19 @@ def test_write_matrix_market_roundtrip(tmp_path):
     np.testing.assert_array_equal(mm.rows_1based, mm2.rows_1based)
     np.testing.assert_array_equal(mm.cols_1based, mm2.cols_1based)
     np.testing.assert_allclose(mm.values, mm2.values)
+
+
+def test_cg_mode(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--cg", "200", "--cg-tol", "1e-10"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["cg"]["iterations"] <= 200
+    assert doc["cg"]["residual_norm"] < 1e-6
+    assert doc["cg"]["solution_rms_error_vs_ones"] < 1e-5
+
+
+def test_cg_mode_guards(matrix_file):
+    assert _run(["--triad", "100", "--cg", "10"])[0] == 1
