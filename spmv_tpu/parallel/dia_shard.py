@@ -125,8 +125,16 @@ def unstack_dia_vector(stacked, A: ShardedDia) -> np.ndarray:
 
 def _local_dia_spmv(data_blk, x_blk, *, offsets, halo, rows_per_shard,
                     num_shards, axis_name):
-    """Per-shard body (runs inside shard_map): halo exchange + local
-    shifted-FMA SpMV."""
+    """Per-shard body (runs inside shard_map): halo exchange
+    OVERLAPPED with the interior compute.
+
+    The interior pass uses only the shard's own x (halos as zeros), so
+    it has no data dependency on the ppermute — XLA schedules the ICI
+    transfer concurrently with the bulk FMA stream.  The received
+    halos then contribute only the O(halo) boundary corrections:
+    rows [0, h) read the left halo through negative offsets, rows
+    [rb-h, rb) read the right halo through positive offsets.
+    """
     h, rb, p = halo, rows_per_shard, num_shards
     x = x_blk[0]                # (Rb,)
     d = data_blk[0]             # (D, Rb)
@@ -146,10 +154,29 @@ def _local_dia_spmv(data_blk, x_blk, *, offsets, halo, rows_per_shard,
         left = jnp.zeros((h,), x.dtype)
         right = jnp.zeros((h,), x.dtype)
 
-    xe = jnp.concatenate([left, x, right])       # (Rb + 2H,)
+    # Interior pass: own x, zero halos — independent of the ppermutes.
+    zeros_h = jnp.zeros((h,), x.dtype)
+    xz = jnp.concatenate([zeros_h, x, zeros_h])
     y = jnp.zeros((rb,), dtype=d.dtype)
     for k, off in enumerate(offsets):
-        y = y + d[k] * jax.lax.dynamic_slice(xe, (h + off,), (rb,))
+        y = y + d[k] * jax.lax.dynamic_slice(xz, (h + off,), (rb,))
+
+    if h > 0 and p > 1:
+        # Boundary corrections: the slice h+off of the halo-extended
+        # vector differs from the zero-extended one only in its first
+        # (for off < 0) or last (for off > 0) max(h) entries.
+        xe = jnp.concatenate([left, jnp.zeros((rb,), x.dtype), right])
+        top = jnp.zeros((h,), dtype=d.dtype)
+        bot = jnp.zeros((h,), dtype=d.dtype)
+        for k, off in enumerate(offsets):
+            if off < 0:
+                win = jax.lax.dynamic_slice(xe, (h + off,), (h,))
+                top = top + d[k][:h] * win
+            elif off > 0:
+                win = jax.lax.dynamic_slice(xe, (rb + off,), (h,))
+                bot = bot + d[k][rb - h:] * win
+        y = y.at[:h].add(top)
+        y = y.at[rb - h:].add(bot)
     return y[None, :]
 
 

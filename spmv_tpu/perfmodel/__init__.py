@@ -40,6 +40,7 @@ from spmv_tpu.perfmodel.tiling import (
     spmv_traffic_model,
     roofline_time,
 )
+from spmv_tpu.perfmodel.scaling import SpmvScalingModel, spmv_scaling_model
 
 __all__ = [
     "Cache",
@@ -59,4 +60,6 @@ __all__ = [
     "TpuMachineModel",
     "spmv_traffic_model",
     "roofline_time",
+    "SpmvScalingModel",
+    "spmv_scaling_model",
 ]

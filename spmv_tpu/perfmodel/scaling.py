@@ -1,0 +1,100 @@
+"""Analytic scaling model for sharded SpMV over a TPU mesh.
+
+Only one chip is reachable in this environment, so multi-chip behavior
+is (a) validated functionally on virtual meshes (tests) and (b)
+predicted by this model — the same role the reference's NUMA-domain
+miss matrices play for remote traffic it cannot measure
+(SURVEY.md §5).  The model prices each SpMV step per shard:
+
+- local HBM time: the shard's share of matrix + vector traffic at the
+  machine's HBM bandwidth (scaled by a measured-efficiency factor);
+- communication time over ICI:
+  * DIA halo exchange: 2 * halo elements to nearest neighbors;
+  * all-gather (CSR/WELL): (P-1)/P of the global x per shard;
+- overlap: the DIA path computes its interior concurrently with the
+  halo ppermute (parallel.dia_shard), so its step time is
+  max(local, comm) + boundary-fix; the all-gather paths serialize
+  gather before compute (sum).
+
+Weak scaling holds rows-per-shard fixed as P grows; efficiency is
+t(1 shard) / t(P shards) for the same per-shard work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from spmv_tpu.perfmodel.tiling import TpuMachineModel, TPU_V5E
+
+__all__ = ["SpmvScalingModel", "spmv_scaling_model"]
+
+# Fraction of spec HBM bandwidth the measured kernels reach
+# (experiments/tpu_probe9_membw.py: ~650 of 819 GB/s).
+MEASURED_HBM_EFFICIENCY = 0.80
+# ICI efficiency for small nearest-neighbor messages.
+ICI_EFFICIENCY = 0.70
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmvScalingModel:
+    num_shards: int
+    rows_per_shard: int
+    comm_bytes_per_shard: int
+    t_local_s: float
+    t_comm_s: float
+    t_step_s: float
+    weak_efficiency: float     # vs the 1-shard step on the same block
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def spmv_scaling_model(
+    num_shards: int,
+    rows_per_shard: int,
+    num_diagonals: int = 5,
+    halo: int = 4096,
+    value_bytes: int = 4,
+    scheme: str = "dia-halo",
+    machine: Optional[TpuMachineModel] = None,
+    overlap: bool = True,
+) -> SpmvScalingModel:
+    """Model one sharded SpMV step.
+
+    scheme: "dia-halo" (ppermute halo strips) or "all-gather"
+    (stacked x gathered from every shard, the CSR/WELL path).
+    """
+    machine = machine or TPU_V5E
+    hbm = machine.hbm_gbps * 1e9 * MEASURED_HBM_EFFICIENCY
+    ici = (machine.ici_gbps_per_link * 1e9 * machine.ici_links
+           * ICI_EFFICIENCY)
+
+    local_bytes = (num_diagonals + 2) * value_bytes * rows_per_shard
+    t_local = local_bytes / hbm
+
+    if scheme == "dia-halo":
+        comm_bytes = 2 * halo * value_bytes if num_shards > 1 else 0
+    elif scheme == "all-gather":
+        comm_bytes = (
+            (num_shards - 1) * rows_per_shard * value_bytes
+            if num_shards > 1 else 0
+        )
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+    t_comm = comm_bytes / ici
+
+    if overlap and scheme == "dia-halo":
+        t_step = max(t_local, t_comm)
+    else:
+        t_step = t_local + t_comm
+
+    return SpmvScalingModel(
+        num_shards=num_shards,
+        rows_per_shard=rows_per_shard,
+        comm_bytes_per_shard=comm_bytes,
+        t_local_s=t_local,
+        t_comm_s=t_comm,
+        t_step_s=t_step,
+        weak_efficiency=t_local / t_step if t_step else 1.0,
+    )

@@ -372,3 +372,25 @@ def test_roofline_memory_bound():
     r = roofline_time(bytes_moved=10**9, flops=10**6, machine=TPU_V5E)
     assert r["bound"] == "memory"
     assert r["time_roofline_s"] == pytest.approx(1e9 / (819 * 1e9))
+
+
+def test_spmv_scaling_model():
+    from spmv_tpu.perfmodel import spmv_scaling_model
+
+    # weak scaling with halo exchange: comm is constant in P and tiny
+    # next to the local stream -> efficiency stays ~1
+    one = spmv_scaling_model(1, 1 << 21, halo=4096)
+    assert one.weak_efficiency == 1.0
+    for p in (4, 64, 1024):
+        m = spmv_scaling_model(p, 1 << 21, halo=4096)
+        assert m.comm_bytes_per_shard == 2 * 4096 * 4
+        assert m.weak_efficiency > 0.99
+    # all-gather: comm grows with P and eventually dominates
+    ag64 = spmv_scaling_model(64, 1 << 21, scheme="all-gather")
+    ag1024 = spmv_scaling_model(1024, 1 << 21, scheme="all-gather")
+    assert ag1024.weak_efficiency < ag64.weak_efficiency < 1.0
+    # hand check: local bytes = 7 * 4 * R
+    assert one.t_local_s == (7 * 4 * (1 << 21)) / (819e9 * 0.80)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        spmv_scaling_model(4, 128, scheme="bogus")
