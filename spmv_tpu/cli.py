@@ -32,7 +32,8 @@ from spmv_tpu.errors import SpmvError
 __all__ = ["main", "build_parser"]
 
 SPMV_FORMATS = (
-    "coo", "coo-atomic", "csr", "ell", "hybrid", "dia", "well", "xla-csr"
+    "auto", "coo", "coo-atomic", "csr", "ell", "hybrid", "dia", "well",
+    "xla-csr"
 )
 
 
@@ -99,6 +100,30 @@ def _make_kernel(args):
             "either --matrix or --triad N is required "
             "(see --help)"
         )
+    if args.spmv_format == "auto":
+        from spmv_tpu.io.matrix_market import load_matrix
+        from spmv_tpu.models import auto_format
+        from spmv_tpu.kernels import make_kernel as _mk
+
+        mm = load_matrix(args.matrix, verbose=args.verbose)
+        if args.reorder != "none":
+            raise SpmvError(
+                "-s auto chooses its own reordering; drop --reorder"
+            )
+        matrix, rationale = auto_format(mm)
+        if args.verbose:
+            print(f"auto format: {rationale}", file=sys.stderr)
+        kernel = _mk(matrix.format_name, mm=mm)
+        # reuse the converted matrix rather than reconverting
+        kernel.matrix = None
+        kernel._auto_rationale = rationale
+
+        def _init(verbose=False, _k=kernel, _m=matrix):
+            _k.matrix = _m
+            _k.layout = _k._make_layout()
+
+        kernel.init = _init
+        return kernel
     if args.reorder != "none":
         from spmv_tpu.io.matrix_market import load_matrix
         from spmv_tpu.models import reorder as _reorder

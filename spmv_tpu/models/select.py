@@ -1,0 +1,87 @@
+"""Automatic storage-format selection.
+
+The reference makes the user pick a format on the command line
+(--spmv-format, src/main.cpp:166-188).  On TPU the right choice is
+mechanical, so this module decides from the matrix's structure:
+
+1. **DIA** when the distinct-diagonal count is small enough that the
+   dense diagonal storage stays near the nonzero count (the stencil
+   case — the fastest kernel by far);
+2. otherwise **WELL**, optionally RCM-reordered first when that
+   collapses the window spill (general matrices);
+3. **CSR** only as the fallback for shapes WELL cannot improve
+   (pathological spill even after reordering) — the portable
+   segment-sum path.
+
+``auto_format`` returns the converted host matrix plus a rationale
+dict for reports.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from spmv_tpu.io.matrix_market import MatrixMarket
+from spmv_tpu.models.csr import CsrMatrix
+from spmv_tpu.models.dia import DiaMatrix
+from spmv_tpu.models.well import WellMatrix
+
+__all__ = ["auto_format"]
+
+DIA_MAX_FILL = 3.0          # dense diagonal slots per nonzero
+WELL_MAX_SPILL = 0.15       # acceptable out-of-window fraction
+WELL_WINDOW_ROWS = 4
+
+
+def auto_format(
+    mm: MatrixMarket,
+    try_rcm: bool = True,
+    window_rows: int = WELL_WINDOW_ROWS,
+) -> Tuple[object, dict]:
+    """Pick and build the best host format for ``mm``.
+
+    Returns (matrix, rationale).  ``rationale["format"]`` is one of
+    "dia" / "well" / "well+rcm" / "csr"; the dict carries the numbers
+    the decision used.
+    """
+    rationale: dict = {}
+
+    rows = mm.rows_1based.astype(np.int64) - 1
+    cols = mm.cols_1based.astype(np.int64) - 1
+    num_diags = int(np.unique(cols - rows).size)
+    dia_fill = (
+        num_diags * mm.num_rows / max(mm.num_entries, 1)
+    )
+    rationale["num_diagonals"] = num_diags
+    rationale["dia_fill"] = dia_fill
+    if dia_fill <= DIA_MAX_FILL:
+        rationale["format"] = "dia"
+        return DiaMatrix.from_matrix_market(mm), rationale
+
+    well = WellMatrix.from_matrix_market(mm, window_rows=window_rows)
+    rationale["well_spill"] = well.spill_fraction
+    rationale["well_fill"] = well.fill_ratio
+    if well.spill_fraction <= WELL_MAX_SPILL:
+        rationale["format"] = "well"
+        return well, rationale
+
+    if try_rcm and mm.num_rows == mm.num_columns:
+        from spmv_tpu.models.reorder import find_new_order_rcm
+
+        mm_rcm = mm.permute(find_new_order_rcm(mm))
+        well_rcm = WellMatrix.from_matrix_market(
+            mm_rcm, window_rows=window_rows
+        )
+        rationale["well_rcm_spill"] = well_rcm.spill_fraction
+        if well_rcm.spill_fraction <= WELL_MAX_SPILL:
+            rationale["format"] = "well+rcm"
+            rationale["note"] = (
+                "matrix was RCM-reordered; vectors must be permuted "
+                "accordingly"
+            )
+            return well_rcm, rationale
+
+    rationale["format"] = "csr"
+    return CsrMatrix.from_matrix_market(mm), rationale

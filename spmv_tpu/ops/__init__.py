@@ -1,8 +1,8 @@
 """Compute kernels: SpMV / SpMM / triad, XLA and Pallas paths, solvers."""
 
-from spmv_tpu.ops.spmv import spmv, spmv_padded, spmm
+from spmv_tpu.ops.spmv import spmv, spmv_padded, spmm, fast_spmv
 from spmv_tpu.ops.triad import triad
 from spmv_tpu.ops.solvers import conjugate_gradient
 from spmv_tpu.ops.pallas_kernels import dia_spmv, dia_spmv_padded, well_spmv, well_spmv_padded
 
-__all__ = ["spmv", "spmv_padded", "spmm", "triad", "conjugate_gradient", "dia_spmv", "dia_spmv_padded", "well_spmv", "well_spmv_padded"]
+__all__ = ["spmv", "spmv_padded", "spmm", "fast_spmv", "triad", "conjugate_gradient", "dia_spmv", "dia_spmv_padded", "well_spmv", "well_spmv_padded"]

@@ -34,7 +34,7 @@ from spmv_tpu.models.device import (
     SUBLANE,
 )
 
-__all__ = ["spmv", "spmv_padded", "spmm"]
+__all__ = ["spmv", "spmv_padded", "spmm", "fast_spmv"]
 
 
 def _csr_padded(A: DeviceCsr, x: jax.Array) -> jax.Array:
@@ -188,3 +188,24 @@ def spmm(A, X: jax.Array) -> jax.Array:
             y = y + spmm(A.spill, xf)[: A.num_rows]
         return y
     raise TypeError(f"unsupported device matrix type: {type(A)!r}")
+
+
+def fast_spmv(A, x: jax.Array) -> jax.Array:
+    """y = A @ x through the fastest available path per format.
+
+    DeviceDia and DeviceWell route to their Pallas kernels (interpret
+    mode off-TPU); every other format uses the XLA formulation.  The
+    plain :func:`spmv` remains the portable semantic specification.
+    """
+    import jax as _jax
+
+    interpret = _jax.default_backend() == "cpu"
+    if isinstance(A, DeviceDia):
+        from spmv_tpu.ops.pallas_kernels import dia_spmv
+
+        return dia_spmv(A, x, interpret=interpret)
+    if isinstance(A, DeviceWell):
+        from spmv_tpu.ops.pallas_kernels import well_spmv
+
+        return well_spmv(A, x, interpret=interpret)
+    return spmv(A, x)

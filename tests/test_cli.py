@@ -184,3 +184,17 @@ def test_cg_mode(matrix_file):
 
 def test_cg_mode_guards(matrix_file):
     assert _run(["--triad", "100", "--cg", "10"])[0] == 1
+
+
+def test_auto_format_cli(matrix_file, config_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--trace-config", config_file,
+         "--spmv-format", "auto"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    # the 4x4 tridiagonal-ish fixture has few diagonals -> DIA
+    assert doc["kernel"]["name"] == "dia"
+    # --reorder conflicts with auto
+    assert _run(["--matrix", matrix_file, "-s", "auto",
+                 "--reorder", "rcm", "--trace-config", config_file])[0] == 1

@@ -245,3 +245,17 @@ def test_gp_order_is_permutation():
     mm = poisson2d(12, 12)
     order = find_new_order_gp(mm, num_parts=4)
     assert sorted(order) == list(range(144))
+
+
+def test_auto_format_selection():
+    from spmv_tpu.io.generate import poisson2d, random_sparse
+    from spmv_tpu.models import DiaMatrix, WellMatrix, auto_format
+
+    # stencil -> DIA
+    m, why = auto_format(poisson2d(20, 20))
+    assert isinstance(m, DiaMatrix) and why["format"] == "dia"
+
+    # random with moderate spread -> WELL
+    m, why = auto_format(random_sparse(400, 400, 6, seed=1))
+    assert isinstance(m, WellMatrix)
+    assert why["format"] in ("well", "well+rcm")
