@@ -113,17 +113,7 @@ def _make_kernel(args):
         matrix, rationale = auto_format(mm)
         if args.verbose:
             print(f"auto format: {rationale}", file=sys.stderr)
-        kernel = _mk(matrix.format_name, mm=mm)
-        # reuse the converted matrix rather than reconverting
-        kernel.matrix = None
-        kernel._auto_rationale = rationale
-
-        def _init(verbose=False, _k=kernel, _m=matrix):
-            _k.matrix = _m
-            _k.layout = _k._make_layout()
-
-        kernel.init = _init
-        return kernel
+        return _mk(matrix.format_name, matrix=matrix)
     if args.reorder != "none":
         from spmv_tpu.io.matrix_market import load_matrix
         from spmv_tpu.models import reorder as _reorder

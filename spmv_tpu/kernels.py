@@ -136,15 +136,24 @@ class TriadKernel(Kernel):
 class _MatrixKernel(Kernel):
     """Shared behavior for the SpMV kernels."""
 
-    def __init__(self, matrix_path: str = None, mm: MatrixMarket = None):
-        if (matrix_path is None) == (mm is None):
-            raise KernelError("provide exactly one of matrix_path / mm")
+    def __init__(self, matrix_path: str = None, mm: MatrixMarket = None,
+                 matrix=None):
+        if sum(x is not None for x in (matrix_path, mm, matrix)) != 1:
+            raise KernelError(
+                "provide exactly one of matrix_path / mm / matrix"
+            )
         self.matrix_path = matrix_path
         self._mm = mm
+        self._premade = matrix
         self.matrix = None
         self.layout: Optional[VirtualLayout] = None
 
     def init(self, verbose: bool = False) -> None:
+        if self._premade is not None:
+            # already-converted matrix (e.g. from auto_format)
+            self.matrix = self._premade
+            self.layout = self._make_layout()
+            return
         mm = self._mm
         if mm is None:
             mm = load_matrix(self.matrix_path, verbose=verbose)
@@ -573,6 +582,7 @@ def make_kernel(
     name: str,
     matrix_path: str = None,
     mm: MatrixMarket = None,
+    matrix=None,
     triad_entries: int = 0,
     **kw,
 ) -> Kernel:
@@ -593,4 +603,5 @@ def make_kernel(
         raise KernelError(
             f"unknown kernel {name!r}; expected one of {KERNEL_NAMES}"
         )
-    return classes[name](matrix_path=matrix_path, mm=mm, **kw)
+    return classes[name](matrix_path=matrix_path, mm=mm,
+                         matrix=matrix, **kw)
