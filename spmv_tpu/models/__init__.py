@@ -16,6 +16,7 @@ from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.well import WellMatrix
 from spmv_tpu.models.select import auto_format
+from spmv_tpu.models.bsr import BsrMatrix
 from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
 from spmv_tpu.models.hybrid import HybridMatrix
 from spmv_tpu.models.partition import (
@@ -30,6 +31,7 @@ __all__ = [
     "DiaMatrix",
     "WellMatrix",
     "auto_format",
+    "BsrMatrix",
     "EllMatrix",
     "HybridMatrix",
     "ELL_PAD_SENTINEL",

@@ -45,6 +45,7 @@ __all__ = [
     "DeviceEll",
     "DeviceHybrid",
     "DeviceWell",
+    "DeviceBsr",
     "device_put_matrix",
     "default_value_dtype",
     "round_up",
@@ -430,4 +431,76 @@ def device_put_matrix(m, dtype=None, **kw):
         return DeviceDia.from_host(m, dtype=dtype, **kw)
     if isinstance(m, WellMatrix):
         return DeviceWell.from_host(m, dtype=dtype, **kw)
+    from spmv_tpu.models.bsr import BsrMatrix
+    if isinstance(m, BsrMatrix):
+        return DeviceBsr.from_host(m, dtype=dtype, **kw)
     raise TypeError(f"unsupported host matrix type: {type(m)!r}")
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blocks", "block_col", "block_row"],
+    meta_fields=["num_rows", "num_columns", "num_entries", "num_blocks",
+                 "num_block_rows", "num_block_cols", "blocks_per_step"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceBsr:
+    """BSR on device — dense (128, 128) blocks for the MXU (models.bsr).
+
+    ``block_row`` expands the host's block_rowptr to one entry per
+    block (non-decreasing), serving both the output index map and the
+    first-of-row detection in the Pallas SpMM kernel.
+    """
+
+    num_rows: int
+    num_columns: int
+    num_entries: int
+    num_blocks: int           # padded: each block-row's count is a
+                              # multiple of blocks_per_step
+    num_block_rows: int
+    num_block_cols: int
+    blocks_per_step: int      # KB: blocks fused into one grid step
+    blocks: jax.Array      # (NB, 128, 128)
+    block_col: jax.Array   # (NB,) int32
+    block_row: jax.Array   # (NB // KB,) int32 per-STEP block row
+    format_name = "bsr"
+
+    @classmethod
+    def from_host(cls, m, dtype=None,
+                  blocks_per_step: int = 8) -> "DeviceBsr":
+        from spmv_tpu.models.bsr import BsrMatrix, BLOCK
+
+        assert isinstance(m, BsrMatrix)
+        dtype = dtype or default_value_dtype()
+        kb = max(int(blocks_per_step), 1)
+
+        counts = np.diff(m.block_rowptr)
+        pads = (-counts) % kb
+        nb_padded = int((counts + pads).sum())
+        blocks = np.zeros((nb_padded, BLOCK, BLOCK), m.blocks.dtype)
+        bcol = np.zeros(nb_padded, dtype=np.int32)
+        step_row = []
+        pos = 0
+        for br in range(m.num_block_rows):
+            s, e = int(m.block_rowptr[br]), int(m.block_rowptr[br + 1])
+            c = e - s
+            blocks[pos:pos + c] = m.blocks[s:e]
+            bcol[pos:pos + c] = m.block_col[s:e]
+            total = c + int(pads[br])
+            step_row.extend([br] * (total // kb))
+            pos += total
+
+        return cls(
+            num_rows=m.num_rows,
+            num_columns=m.num_columns,
+            num_entries=m.num_entries,
+            num_blocks=nb_padded,
+            num_block_rows=m.num_block_rows,
+            num_block_cols=-(-m.num_columns // BLOCK),
+            blocks_per_step=kb,
+            blocks=jnp.asarray(blocks, dtype=dtype),
+            block_col=jnp.asarray(bcol),
+            block_row=jnp.asarray(
+                np.asarray(step_row, dtype=np.int32)
+            ),
+        )

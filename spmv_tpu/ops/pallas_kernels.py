@@ -65,6 +65,7 @@ __all__ = [
     "dia_spmm_core",
     "dia_prepare_X",
     "dia_extract_Y",
+    "bsr_spmm",
 ]
 
 
@@ -559,3 +560,87 @@ def dia_spmm(
         A, dia_prepare_X(A, X, tile_rows), tile_rows, interpret
     )
     return dia_extract_Y(A, y3d, tile_rows)
+
+
+# ----------------------------------------------------------------------
+# BSR SpMM: dense (128, 128) blocks on the MXU — see models.bsr.
+# Per grid step t: Y[brow[t]] += blocks[t] @ X[bcol[t]], a native
+# systolic-array matmul; X and Y tiles ride BlockSpec pipelines with
+# index maps driven by the prefetched block coordinate arrays, and
+# consecutive blocks of one block-row accumulate into a revisited
+# output tile.
+# ----------------------------------------------------------------------
+
+
+def _bsr_spmm_kernel(bcol_ref, brow_ref, *refs, kb, dtype):
+    x_refs = refs[:kb]
+    blk_ref = refs[kb]
+    y_ref = refs[kb + 1]
+    t = pl.program_id(0)
+    first = jnp.logical_or(
+        t == 0, brow_ref[t] != brow_ref[jnp.maximum(t - 1, 0)]
+    )
+    acc = jnp.dot(blk_ref[0], x_refs[0][0], preferred_element_type=dtype)
+    for i in range(1, kb):
+        acc = acc + jnp.dot(
+            blk_ref[i], x_refs[i][0], preferred_element_type=dtype
+        )
+
+    @pl.when(first)
+    def _():
+        y_ref[0] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        y_ref[0] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
+    """Y = A @ X for DeviceBsr; X of shape (num_columns, k)."""
+    from spmv_tpu.models.device import DeviceBsr
+
+    assert isinstance(A, DeviceBsr)
+    k = X.shape[1]
+    ncb = A.num_block_cols
+    xf = X.astype(A.blocks.dtype)
+    x3d = jnp.pad(
+        xf, ((0, ncb * LANE - X.shape[0]), (0, 0))
+    ).reshape(ncb, LANE, k)
+
+    kb = A.blocks_per_step
+    kernel = functools.partial(
+        _bsr_spmm_kernel, kb=kb, dtype=A.blocks.dtype
+    )
+    x_specs = [
+        pl.BlockSpec(
+            (1, LANE, k),
+            (lambda i: lambda t, bc, br: (bc[t * kb + i], 0, 0))(i),
+            memory_space=pltpu.VMEM,
+        )
+        for i in range(kb)
+    ]
+    y3d = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(A.num_blocks // kb,),
+            in_specs=x_specs + [
+                pl.BlockSpec(
+                    (kb, LANE, LANE),
+                    lambda t, bc, br: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, LANE, k),
+                lambda t, bc, br: (br[t], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (A.num_block_rows, LANE, k), A.blocks.dtype
+        ),
+        interpret=interpret,
+    )(A.block_col, A.block_row, *([x3d] * kb), A.blocks)
+    return y3d.reshape(-1, k)[: A.num_rows]

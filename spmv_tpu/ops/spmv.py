@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from spmv_tpu.models.device import (
+    DeviceBsr,
     DeviceCsr,
     DeviceDia,
     DeviceEll,
@@ -125,6 +126,8 @@ def spmv_padded(A, x: jax.Array) -> jax.Array:
         return _dia_padded(A, x)
     if isinstance(A, DeviceWell):
         return _well_padded(A, x)
+    if isinstance(A, DeviceBsr):
+        return spmm(A, x[:, None])[:, 0]
     raise TypeError(f"unsupported device matrix type: {type(A)!r}")
 
 
@@ -170,6 +173,27 @@ def spmm(A, X: jax.Array) -> jax.Array:
             )
             y = y + flat[kd][:, None] * win
         return y[: A.num_rows]
+    if isinstance(A, DeviceBsr):
+        # XLA spec of the Pallas MXU kernel: batched block matmuls +
+        # segment-sum over block rows.
+        k = X.shape[1]
+        ncb = A.num_block_cols
+        xf = X.astype(A.blocks.dtype)
+        x3d = jnp.pad(
+            xf, ((0, ncb * LANE - X.shape[0]), (0, 0))
+        ).reshape(ncb, LANE, k)
+        gathered = jnp.take(x3d, A.block_col, axis=0)  # (NB, 128, k)
+        prods = jnp.einsum(
+            "brc,bck->brk", A.blocks, gathered,
+            preferred_element_type=A.blocks.dtype,
+        )
+        block_row = jnp.repeat(A.block_row, A.blocks_per_step)
+        y = jax.ops.segment_sum(
+            prods, block_row,
+            num_segments=A.num_block_rows,
+            indices_are_sorted=True,
+        )
+        return y.reshape(-1, k)[: A.num_rows]
     if isinstance(A, DeviceWell):
         xf = X.astype(A.value.dtype)
         ws = A.window_start.transpose(0, 2, 1).reshape(

@@ -1,0 +1,118 @@
+"""BSR format + MXU SpMM kernel tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spmv_tpu.errors import MatrixError
+from spmv_tpu.io.generate import poisson2d, random_sparse
+from spmv_tpu.io.matrix_market import MatrixMarket
+from spmv_tpu.models import BsrMatrix
+from spmv_tpu.models.device import DeviceBsr, device_put_matrix
+from spmv_tpu.ops import spmm, spmv
+from spmv_tpu.ops.pallas_kernels import bsr_spmm
+
+
+def _block_structured(nbr, ncb, blocks_per_row, seed=0):
+    """Random block pattern with dense-ish 128x128 blocks."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for bi in range(nbr):
+        bjs = rng.choice(ncb, size=min(blocks_per_row, ncb),
+                         replace=False)
+        for bj in bjs:
+            # ~50% dense block
+            r = rng.integers(0, 128, 8192)
+            c = rng.integers(0, 128, 8192)
+            rows.extend((bi * 128 + r).tolist())
+            cols.extend((bj * 128 + c).tolist())
+    rows = np.asarray(rows); cols = np.asarray(cols)
+    key = np.unique(rows * (ncb * 128) + cols)
+    rows, cols = key // (ncb * 128), key % (ncb * 128)
+    vals = rng.standard_normal(rows.size)
+    return MatrixMarket(
+        "matrix", "coordinate", "real", "general",
+        nbr * 128, ncb * 128, rows.size,
+        rows + 1, cols + 1, vals,
+    )
+
+
+def _dense_of(mm):
+    A = np.zeros((mm.num_rows, mm.num_columns))
+    np.add.at(A, (mm.rows_1based - 1, mm.cols_1based - 1), mm.values)
+    return A
+
+
+def test_host_bsr_matches_dense():
+    mm = _block_structured(3, 4, 2, seed=1)
+    b = BsrMatrix.from_matrix_market(mm)
+    dense = _dense_of(mm)
+    X = np.random.default_rng(2).standard_normal((mm.num_columns, 5))
+    np.testing.assert_allclose(b.spmm(X), dense @ X, atol=1e-10)
+    np.testing.assert_allclose(b.spmv(X[:, 0]), dense @ X[:, 0],
+                               atol=1e-10)
+    assert b.fill_ratio < 3.5
+
+
+def test_non_block_multiple_shapes():
+    mm = random_sparse(300, 200, 4, seed=3)   # not multiples of 128
+    b = BsrMatrix.from_matrix_market(mm)
+    dense = _dense_of(mm)
+    X = np.random.default_rng(4).standard_normal((200, 3))
+    np.testing.assert_allclose(b.spmm(X), dense @ X, atol=1e-10)
+
+
+def test_empty_block_rows_get_inert_blocks():
+    # rows 128..255 entirely empty
+    mm = MatrixMarket(
+        "matrix", "coordinate", "real", "general", 384, 384, 2,
+        np.array([1, 384]), np.array([1, 384]), np.array([2.0, 3.0]),
+    )
+    b = BsrMatrix.from_matrix_market(mm)
+    assert b.num_block_rows == 3
+    # every block row has at least one block
+    assert (np.diff(b.block_rowptr) >= 1).all()
+    x = np.ones(384)
+    y = b.spmv(x)
+    assert y[0] == 2.0 and y[383] == 3.0 and y[128] == 0.0
+
+
+def test_max_fill_guard():
+    mm = random_sparse(1024, 1024, 2, seed=5)  # scattered -> huge fill
+    with pytest.raises(MatrixError):
+        BsrMatrix.from_matrix_market(mm, max_fill=8.0)
+
+
+def test_device_xla_matches_host():
+    mm = _block_structured(2, 3, 2, seed=6)
+    b = BsrMatrix.from_matrix_market(mm)
+    A = device_put_matrix(b)
+    assert isinstance(A, DeviceBsr)
+    X = np.random.default_rng(7).standard_normal((mm.num_columns, 4))
+    Y = np.asarray(spmm(A, jnp.asarray(X)))
+    np.testing.assert_allclose(Y, b.spmm(X), rtol=1e-12)
+    x = X[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(spmv(A, jnp.asarray(x))), b.spmv(x), rtol=1e-12
+    )
+
+
+def test_pallas_interpret_matches_xla():
+    mm = _block_structured(2, 3, 2, seed=8)
+    b = BsrMatrix.from_matrix_market(mm)
+    A = DeviceBsr.from_host(b, dtype=jnp.float32)
+    X = np.random.default_rng(9).standard_normal(
+        (mm.num_columns, 4)
+    ).astype(np.float32)
+    Y = np.asarray(bsr_spmm(A, jnp.asarray(X), interpret=True))
+    np.testing.assert_allclose(Y, b.spmm(X.astype(np.float64)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_interpret_fp64_and_poisson():
+    mm = poisson2d(16, 16)   # 256 rows: 2 block rows
+    b = BsrMatrix.from_matrix_market(mm)
+    A = DeviceBsr.from_host(b)
+    X = np.random.default_rng(10).standard_normal((256, 2))
+    Y = np.asarray(bsr_spmm(A, jnp.asarray(X), interpret=True))
+    np.testing.assert_allclose(Y, b.spmm(X), rtol=1e-12)
