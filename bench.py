@@ -113,6 +113,20 @@ def _run() -> None:
     ).seconds_per_iteration
     spmm_bytes = dia.num_diagonals * 4 * n + 2 * k * n * 4
 
+    # Secondary: bf16 storage (halves the dominant diagonal stream;
+    # f32 accumulation in-kernel).
+    Ab = DeviceDia.from_host(dia, dtype=jnp.bfloat16)
+    xb2d = dia_prepare_x(Ab, jnp.asarray(x).astype(jnp.bfloat16),
+                         TILE_ROWS)
+
+    def bstep(x2d, A):
+        return dia_spmv_core(A, x2d, tile_rows=TILE_ROWS,
+                             interpret=interpret)
+
+    t_bf16 = time_kernel(
+        bstep, (xb2d, Ab), k_small=2, k_large=10, runs=6
+    ).seconds_per_iteration
+
     # Minimum HBM traffic: diagonals streamed once, x read once,
     # y written once.
     bytes_min = (dia.num_diagonals + 2) * 4 * n
@@ -147,6 +161,9 @@ def _run() -> None:
             "spmm_gnnz_per_s": k * nnz / t_spmm / 1e9,
             "spmm_roofline_fraction": spmm_bytes / machine.hbm_gbps
             / 1e9 / t_spmm,
+            "bf16_seconds_per_spmv": t_bf16,
+            "bf16_gnnz_per_s": nnz / t_bf16 / 1e9,
+            "bf16_speedup_vs_f32": t / t_bf16,
         },
     }
     print(json.dumps(result))

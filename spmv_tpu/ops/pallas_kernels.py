@@ -155,14 +155,18 @@ def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype):
         window_dma(j % 2, j).wait()
         slot = j % 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (w, LANE), 1)
-        acc = jnp.zeros((w, LANE), dtype=dtype)
+        # Sub-fp32 storage (bf16 halves the dominant diagonal stream)
+        # is cast up after the VMEM load: pltpu.roll only rotates
+        # 32-bit data, and f32 accumulation keeps the sum exact-ish.
+        acc_dt = dtype if jnp.dtype(dtype).itemsize >= 4 else jnp.float32
+        acc = jnp.zeros((w, LANE), dtype=acc_dt)
         for k, off in enumerate(offsets):
             s, t = divmod(off, LANE)
             lo = s - plan.smin_row
             if t == 0:
-                shifted = win[slot, pl.ds(lo, w), :]
+                shifted = win[slot, pl.ds(lo, w), :].astype(acc_dt)
             else:
-                rows = win[slot, pl.ds(lo, w + 1), :]
+                rows = win[slot, pl.ds(lo, w + 1), :].astype(acc_dt)
                 # rolled[r, l] = rows[r, (l + t) % LANE]
                 rolled = pltpu.roll(rows, LANE - t, axis=1)
                 shifted = jnp.where(
@@ -170,8 +174,8 @@ def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype):
                     jax.lax.slice_in_dim(rolled, 0, w, axis=0),
                     jax.lax.slice_in_dim(rolled, 1, w + 1, axis=0),
                 )
-            acc = acc + d_ref[k] * shifted
-        y_ref[:] = acc
+            acc = acc + d_ref[k].astype(acc_dt) * shifted
+        y_ref[:] = acc.astype(dtype)
 
     @pl.when(jnp.logical_not(active))
     def _():
