@@ -37,7 +37,7 @@ from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
 from spmv_tpu.models.hybrid import HybridMatrix
-from spmv_tpu.models.well import WellMatrix, GROUP_ROWS
+from spmv_tpu.models.well import WellMatrix
 
 __all__ = [
     "DeviceCsr",

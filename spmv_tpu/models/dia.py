@@ -27,7 +27,7 @@ import dataclasses
 import numpy as np
 
 from spmv_tpu.errors import MatrixError
-from spmv_tpu.io.matrix_market import MatrixMarket, INDEX_DTYPE, VALUE_DTYPE
+from spmv_tpu.io.matrix_market import MatrixMarket, VALUE_DTYPE
 from spmv_tpu.models._convert import sorted_entries_0based
 from spmv_tpu.models.csr import CsrMatrix
 

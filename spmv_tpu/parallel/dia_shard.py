@@ -29,7 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from spmv_tpu.errors import MatrixError
 from spmv_tpu.models.device import default_value_dtype, round_up, LANE
