@@ -6,10 +6,12 @@ tool ``jamtrott/spmv-cache-trace`` (see SURVEY.md), redesigned TPU-first:
 - ``spmv_tpu.io``        Matrix Market ingestion (.mtx / .mtx.gz /
                          SuiteSparse .tar.gz), symmetry handling,
                          reordering suffixes (``__RCM`` / ``__GP<n>``).
-- ``spmv_tpu.models``    Sparse storage formats (COO / CSR / ELLPACK /
-                         hybrid ELL+COO) as host-side dataclasses with
-                         device (pytree) counterparts, plus row
-                         partitioners (equal rows and nnz-balanced).
+- ``spmv_tpu.models``    Sparse storage formats: the reference's
+                         COO / CSR / ELLPACK / hybrid plus the
+                         TPU-native DIA, WELL and BSR, as host-side
+                         dataclasses with device (pytree) counterparts;
+                         row partitioners, RCM/GP/sigma reordering, and
+                         automatic format selection (``auto_format``).
 - ``spmv_tpu.ops``       SpMV / SpMM / triad compute kernels: XLA
                          (gather + segment-sum) paths and Pallas TPU
                          kernels, and iterative solvers built on them.
