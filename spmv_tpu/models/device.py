@@ -317,9 +317,10 @@ class DeviceDia:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["value", "local_index", "window_start", "group_of_chunk",
-                 "block_of_step", "spill"],
+                 "block_of_step", "segment_of_step", "spill"],
     meta_fields=["num_rows", "num_columns", "num_entries", "window_rows",
-                 "num_chunks", "num_groups", "chunks_per_step"],
+                 "num_chunks", "num_groups", "chunks_per_step",
+                 "segment_rows"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceWell:
@@ -340,52 +341,157 @@ class DeviceWell:
                               # and no step spans two y blocks
     num_groups: int
     chunks_per_step: int      # K: chunks fused into one grid step
+    segment_rows: Optional[int]  # x rows staged per segment, or None
+                                 # for whole-x-in-VMEM mode
     value: jax.Array          # (chunks, 8, LANE)
     local_index: jax.Array    # (chunks, 8, LANE) int32
     window_start: jax.Array   # (steps, 8, K) int32 per-slot, staged
-                              # into SMEM one step at a time
+                              # into SMEM one step at a time;
+                              # segment-relative in segmented mode
     group_of_chunk: jax.Array  # (steps, 1, K) int32
-    block_of_step: jax.Array  # (chunks // K,) int32 — y block per step
+    block_of_step: jax.Array  # (steps,) int32 — y block per step
+    segment_of_step: Optional[jax.Array]  # (steps,) int32 x start row
     spill: Optional[DeviceCsr]
 
     format_name = "well"
 
     @classmethod
     def from_host(
-        cls, m: WellMatrix, dtype=None, chunks_per_step: int = 8
+        cls, m: WellMatrix, dtype=None, chunks_per_step: int = 8,
+        segment_rows: Optional[int] = None,
     ) -> "DeviceWell":
+        """Device conversion.
+
+        ``segment_rows``: when set, the kernel streams x through a
+        sliding VMEM segment of that many 128-wide rows instead of
+        holding all of x — chunks whose windows do not fit their
+        segment move to the CSR spill.  Lifts the whole-x VMEM limit
+        for banded/reordered matrices of any size.
+        """
         dtype = dtype or default_value_dtype()
         k = max(int(chunks_per_step), 1)
-        spill = None
-        if m.spill is not None:
-            spill = DeviceCsr.from_host(m.spill, dtype=dtype)
 
-        # Pad each y block's chunk run to a multiple of K with inert
-        # chunks so one grid step never spans two output blocks.
         grp = np.asarray(m.group_of_chunk)
+        ws_full = np.asarray(m.window_start).copy()   # (chunks, 8)
+        value_full = np.asarray(m.value).copy()
+        loc_full = np.asarray(m.local_index)
+
+        sp_r, sp_c, sp_v = [], [], []
+        seg_id = None
+        if segment_rows is not None:
+            seg = int(segment_rows)
+            active = (value_full != 0).any(axis=2) | (
+                loc_full != 0
+            ).any(axis=2)                              # (chunks, 8)
+            ws_act = np.where(
+                active, ws_full, np.iinfo(np.int32).max
+            )
+            smin = ws_act.min(axis=1)
+            has = active.any(axis=1)
+            smin = np.where(has, smin, 0)
+            smax = np.where(
+                active, ws_full, np.iinfo(np.int32).min
+            ).max(axis=1)
+            smax = np.where(has, smax, 0)
+            # Segment starts need no alignment — quantize to a
+            # half-segment grid so any chunk whose windows span at
+            # most seg/2 rows always fits one segment (aligned
+            # segments inevitably split boundary-straddling chunks).
+            qs = max(seg // 2, 1)
+            seg_start = (smin // qs) * qs
+            seg_start = np.where(has, seg_start, 0)
+            # slots whose window still escapes spill INDIVIDUALLY
+            lo_ok = ws_full >= seg_start[:, None]
+            hi_ok = ws_full <= (seg_start + seg)[:, None]
+            bad = active & ~(lo_ok & hi_ok)
+            for c in np.nonzero(bad.any(axis=1))[0]:
+                for sl in np.nonzero(bad[c])[0]:
+                    ln = np.nonzero(value_full[c, sl] != 0)[0]
+                    sp_r.extend((grp[c] * LANE + ln).tolist())
+                    sp_c.extend(
+                        (int(ws_full[c, sl]) * LANE
+                         + loc_full[c, sl, ln]).tolist()
+                    )
+                    sp_v.extend(value_full[c, sl, ln].tolist())
+                    value_full[c, sl] = 0.0
+            ws_full = np.where(
+                active & ~bad,
+                ws_full - seg_start[:, None],
+                0,
+            ).astype(np.int32)
+            ws_full = np.maximum(ws_full, 0)
+            seg_id = seg_start
+
+        spill = None
+        spill_host = m.spill
+        if sp_r:
+            rr, cc, vv = list(sp_r), list(sp_c), list(sp_v)
+            if spill_host is not None:
+                old_rows = np.repeat(
+                    np.arange(spill_host.num_rows, dtype=np.int64),
+                    np.diff(spill_host.row_ptr),
+                )
+                rr.extend(old_rows.tolist())
+                cc.extend(
+                    np.asarray(spill_host.column_index).tolist()
+                )
+                vv.extend(np.asarray(spill_host.value).tolist())
+            order = np.lexsort((cc, rr))
+            r = np.asarray(rr, dtype=np.int64)[order]
+            c = np.asarray(cc, dtype=np.int64)[order]
+            v = np.asarray(vv, dtype=np.float64)[order]
+            lengths = np.bincount(r, minlength=m.num_rows)
+            ptr = np.zeros(m.num_rows + 1, dtype=np.int64)
+            np.cumsum(lengths, out=ptr[1:])
+            spill_host = CsrMatrix(
+                m.num_rows, m.num_columns, int(r.size), 1,
+                ptr, c.astype(np.int32), v,
+            )
+        if spill_host is not None:
+            spill = DeviceCsr.from_host(spill_host, dtype=dtype)
+
+        # Pad each chunk run to a multiple of K with inert chunks so
+        # one grid step never spans two output blocks, and (segmented
+        # mode) never spans two x segments.
         blocks = grp // SUBLANE
-        val_parts, loc_parts, ws_parts, grp_parts, blk_steps =             [], [], [], [], []
-        ws = np.asarray(m.window_start)        # (chunks, 8)
-        for blk in np.unique(blocks):
-            sel = np.nonzero(blocks == blk)[0]
+        run_key = (
+            blocks.astype(np.int64) if seg_id is None
+            else blocks.astype(np.int64) * (int(seg_id.max()) + 2)
+            + seg_id
+        )  # seg_id holds per-chunk segment START rows in segmented mode
+        val_parts, loc_parts, ws_parts, grp_parts = [], [], [], []
+        blk_steps, seg_steps = [], []
+        # run_key has block as the high digit: sorting by it keeps
+        # blocks contiguous AND groups same-segment chunks within one
+        idx = np.argsort(run_key, kind="stable")
+        i = 0
+        while i < idx.size:
+            j = i
+            while j < idx.size and run_key[idx[j]] == run_key[idx[i]]:
+                j += 1
+            sel = idx[i:j]
             c = sel.size
             pad = (-c) % k
-            val_parts.append(m.value[sel])
-            loc_parts.append(m.local_index[sel])
-            ws_parts.append(ws[sel])
+            val_parts.append(value_full[sel])
+            loc_parts.append(loc_full[sel])
+            ws_parts.append(ws_full[sel])
             grp_parts.append(grp[sel])
             if pad:
-                val_parts.append(
-                    np.zeros((pad,) + m.value.shape[1:], m.value.dtype)
-                )
-                loc_parts.append(
-                    np.zeros((pad,) + m.local_index.shape[1:], np.int32)
-                )
+                val_parts.append(np.zeros(
+                    (pad,) + value_full.shape[1:], value_full.dtype
+                ))
+                loc_parts.append(np.zeros(
+                    (pad,) + loc_full.shape[1:], np.int32
+                ))
                 ws_parts.append(np.zeros((pad, SUBLANE), np.int32))
-                grp_parts.append(
-                    np.full(pad, blk * SUBLANE, dtype=np.int32)
-                )
-            blk_steps.extend([blk] * ((c + pad) // k))
+                grp_parts.append(np.full(
+                    pad, int(blocks[sel[0]]) * SUBLANE, dtype=np.int32
+                ))
+            nsteps = (c + pad) // k
+            blk_steps.extend([int(blocks[sel[0]])] * nsteps)
+            if seg_id is not None:
+                seg_steps.extend([int(seg_id[sel[0]])] * nsteps)
+            i = j
 
         value = np.concatenate(val_parts)
         local_index = np.concatenate(loc_parts)
@@ -395,7 +501,7 @@ class DeviceWell:
         # step-major SMEM staging layout: [step, slot, chunk-in-step]
         window_start = np.ascontiguousarray(
             window_start.reshape(steps, k, SUBLANE).transpose(0, 2, 1)
-        )
+        ).astype(np.int32)
         group_of_chunk = group_of_chunk.reshape(steps, 1, k)
 
         return cls(
@@ -406,12 +512,18 @@ class DeviceWell:
             num_chunks=int(value.shape[0]),
             num_groups=m.num_groups,
             chunks_per_step=k,
+            segment_rows=(None if segment_rows is None
+                          else int(segment_rows)),
             value=jnp.asarray(value, dtype=dtype),
             local_index=jnp.asarray(local_index),
             window_start=jnp.asarray(window_start),
             group_of_chunk=jnp.asarray(group_of_chunk),
             block_of_step=jnp.asarray(
                 np.asarray(blk_steps, dtype=np.int32)
+            ),
+            segment_of_step=(
+                None if seg_id is None
+                else jnp.asarray(np.asarray(seg_steps, dtype=np.int32))
             ),
             spill=spill,
         )

@@ -343,12 +343,24 @@ def well_spmv_padded(
     m = A.window_rows
     k = A.chunks_per_step
     xrows = _cdiv(A.num_columns, LANE) + m + 1
+    if A.segment_rows is not None:
+        # segmented mode: x stays in HBM, streams through a sliding
+        # VMEM segment — no whole-x size limit
+        xrows = round_up(
+            xrows + A.segment_rows + 8, SUBLANE
+        )
+        xf = x.astype(A.value.dtype)
+        x2d = jnp.pad(
+            xf, (0, xrows * LANE - x.shape[0])
+        ).reshape(xrows, LANE)
+        return _well_seg_call(A, x2d, interpret).reshape(-1)
     vmem_bytes = xrows * LANE * A.value.dtype.itemsize
     if vmem_bytes > 8 * 1024 * 1024:
         raise MatrixError(
             f"x ({vmem_bytes/1e6:.0f} MB padded) exceeds the WELL "
-            "kernel's whole-x VMEM budget; shard the matrix "
-            "(spmv_tpu.parallel) or use the DIA/XLA paths"
+            "kernel's whole-x VMEM budget; convert with "
+            "segment_rows=... (DeviceWell.from_host), shard the "
+            "matrix (spmv_tpu.parallel), or use the DIA/XLA paths"
         )
     xf = x.astype(A.value.dtype)
     x2d = jnp.pad(xf, (0, xrows * LANE - x.shape[0])).reshape(xrows, LANE)
@@ -398,6 +410,130 @@ def well_spmv_padded(
     )(A.block_of_step, A.window_start, A.group_of_chunk,
       x2d, A.value, A.local_index)
     return y2d.reshape(-1)
+
+
+def _well_seg_kernel(blk_ref, seg_ref, ws_ref, grp_ref, x_hbm,
+                     v_ref, l_ref, y_ref, win, sems, *,
+                     window_rows, k, seg_rows, dtype):
+    """Segmented WELL: x streams through a sliding VMEM segment.
+
+    seg_ref[i] is the x2d start row of step i's segment (constant
+    within a step by construction); the segment is re-DMA'd only when
+    it changes — rare for banded/reordered matrices, so the transfer
+    amortizes over many steps.
+    """
+    i = pl.program_id(0)
+    seg_changed = jnp.logical_or(
+        i == 0, seg_ref[i] != seg_ref[jnp.maximum(i - 1, 0)]
+    )
+
+    win_rows = round_up(seg_rows + window_rows + 1, SUBLANE)
+
+    @pl.when(seg_changed)
+    def _():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(seg_ref[i], win_rows)],
+            win,
+            sems,
+        )
+        dma.start()
+        dma.wait()
+
+    first_of_block = jnp.logical_or(
+        i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
+    )
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, LANE), 0)
+    acc_blk = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+    for kk in range(k):
+        loc = l_ref[kk]
+        lrow = loc >> 7
+        llane = loc & (LANE - 1)
+        val = v_ref[kk]
+        acc = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+        for m in range(window_rows):
+            bt = jnp.concatenate(
+                [win[pl.ds(ws_ref[0, s, kk] + m, 1), :]
+                 for s in range(SUBLANE)],
+                axis=0,
+            )
+            gthr = jnp.take_along_axis(bt, llane, axis=1)
+            acc = acc + jnp.where(
+                lrow == m, val * gthr, jnp.zeros_like(val)
+            )
+        strip = jnp.sum(acc, axis=0, keepdims=True)
+        grow = grp_ref[0, 0, kk] & 7
+        acc_blk = acc_blk + jnp.where(
+            row_iota == grow,
+            jnp.broadcast_to(strip, (SUBLANE, LANE)),
+            jnp.zeros((SUBLANE, LANE), dtype=dtype),
+        )
+
+    @pl.when(first_of_block)
+    def _():
+        y_ref[:] = acc_blk
+
+    @pl.when(jnp.logical_not(first_of_block))
+    def _():
+        y_ref[:] += acc_blk
+
+
+def _well_seg_call(A, x2d, interpret):
+    m = A.window_rows
+    k = A.chunks_per_step
+    seg_rows = A.segment_rows
+    padded_groups = round_up(A.num_groups, SUBLANE)
+    kernel = functools.partial(
+        _well_seg_kernel, window_rows=m, k=k, seg_rows=seg_rows,
+        dtype=A.value.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(A.num_chunks // k,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, SUBLANE, k),
+                    lambda i, blk, seg: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, k),
+                    lambda i, blk, seg: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (k, SUBLANE, LANE),
+                    lambda i, blk, seg: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (k, SUBLANE, LANE),
+                    lambda i, blk, seg: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (SUBLANE, LANE),
+                lambda i, blk, seg: (blk[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (round_up(seg_rows + A.window_rows + 1, SUBLANE),
+                     LANE),
+                    A.value.dtype,
+                ),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_groups, LANE), A.value.dtype
+        ),
+        interpret=interpret,
+    )(A.block_of_step, A.segment_of_step,
+      A.window_start, A.group_of_chunk, x2d, A.value, A.local_index)
 
 
 def well_spmv(

@@ -85,6 +85,10 @@ def _well_padded(A: DeviceWell, x: jax.Array) -> jax.Array:
     xf = x.astype(A.value.dtype)
     steps, _, k = A.window_start.shape
     ws = A.window_start.transpose(0, 2, 1).reshape(A.num_chunks, SUBLANE)
+    if A.segment_rows is not None:
+        # segmented devices store segment-relative window starts
+        seg = jnp.repeat(A.segment_of_step, k)
+        ws = ws + seg[:, None]
     xcol = ws[:, :, None] * LANE + A.local_index
     gathered = jnp.take(xf, xcol, mode="clip")     # (chunks, 8, LANE)
     contrib = (A.value * gathered).sum(axis=1)     # (chunks, LANE)

@@ -150,3 +150,55 @@ def test_sigma_sort_reduces_fill():
     ws = WellMatrix.from_matrix_market(mm_s, window_rows=1)
     assert ws.value.size < w0.value.size  # fewer padded slots
     assert ws.num_entries == w0.num_entries
+
+
+def test_segmented_mode_matches_whole_x():
+    """Segmented WELL (sliding x segment) vs whole-x mode and host."""
+    import jax.numpy as jnp
+
+    from spmv_tpu.ops import spmv as xla_spmv
+
+    rng = np.random.default_rng(30)
+    n, bw, per = 2000, 60, 5
+    rows = np.repeat(np.arange(n), per)
+    cols = np.clip(rows + rng.integers(-bw, bw + 1, rows.size), 0, n - 1)
+    key = np.unique(rows * n + cols)
+    r, c = key // n, key % n
+    from spmv_tpu.io.matrix_market import MatrixMarket
+    mm = MatrixMarket("matrix", "coordinate", "real", "general",
+                      n, n, r.size, (r + 1), (c + 1),
+                      rng.standard_normal(r.size))
+    w = WellMatrix.from_matrix_market(mm, window_rows=2)
+    x = rng.standard_normal(n)
+    want = w.spmv(x)
+
+    # small segments force several segment switches
+    A = DeviceWell.from_host(w, segment_rows=4)
+    assert A.segment_rows == 4
+    xj = jnp.asarray(x)
+    y_seg = np.asarray(well_spmv(A, xj, interpret=True))
+    np.testing.assert_allclose(y_seg, want, rtol=1e-10, atol=1e-10)
+    # XLA spec path with segment-relative windows agrees too
+    y_xla = np.asarray(xla_spmv(A, xj))
+    np.testing.assert_allclose(y_xla, want, rtol=1e-10, atol=1e-10)
+
+
+def test_segmented_mode_spills_escaping_chunks():
+    """A chunk whose windows straddle segments moves to the spill."""
+    import jax.numpy as jnp
+
+    # two far-apart column clusters in one row group
+    rows = np.arange(128)
+    from spmv_tpu.io.matrix_market import MatrixMarket
+    r = np.concatenate([rows, rows])
+    c = np.concatenate([rows, rows + 3000])   # near + far diagonal
+    mm = MatrixMarket("matrix", "coordinate", "real", "general",
+                      128, 4000, r.size, r + 1, c + 1,
+                      np.ones(r.size))
+    w = WellMatrix.from_matrix_market(mm, window_rows=1)
+    A = DeviceWell.from_host(w, segment_rows=2)
+    # the far cluster cannot share a 2-row segment with the near one
+    assert A.spill is not None and A.spill.num_entries > 0
+    x = np.random.default_rng(31).standard_normal(4000)
+    y = np.asarray(well_spmv(A, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, w.spmv(x), rtol=1e-10)
