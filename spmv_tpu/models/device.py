@@ -370,6 +370,15 @@ class DeviceWell:
         """
         dtype = dtype or default_value_dtype()
         k = max(int(chunks_per_step), 1)
+        if segment_rows is None:
+            # whole-x mode needs x resident in VMEM: switch to
+            # segment streaming automatically when it cannot fit
+            x_bytes = (-(-m.num_columns // LANE) + m.window_rows + 1) \
+                * LANE * np.dtype(
+                    np.float32 if dtype != jnp.float64 else np.float64
+                ).itemsize
+            if x_bytes > 8 * 1024 * 1024:
+                segment_rows = 1024
 
         grp = np.asarray(m.group_of_chunk)
         ws_full = np.asarray(m.window_start).copy()   # (chunks, 8)

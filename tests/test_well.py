@@ -202,3 +202,15 @@ def test_segmented_mode_spills_escaping_chunks():
     x = np.random.default_rng(31).standard_normal(4000)
     y = np.asarray(well_spmv(A, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(y, w.spmv(x), rtol=1e-10)
+
+
+def test_auto_segmenting_for_large_x():
+    """Device conversion flips to segment mode when x exceeds VMEM."""
+    import jax.numpy as jnp
+
+    w = WellMatrix.from_matrix_market(poisson2d(24, 24), window_rows=2)
+    # pretend the column space is huge
+    w.num_columns = 4_000_000
+    A = DeviceWell.from_host(w, dtype=jnp.float32)
+    assert A.segment_rows == 1024
+    assert A.segment_of_step is not None
