@@ -203,6 +203,9 @@ def spmm(A, X: jax.Array) -> jax.Array:
         ws = A.window_start.transpose(0, 2, 1).reshape(
             A.num_chunks, SUBLANE
         )
+        if A.segment_rows is not None:
+            seg = jnp.repeat(A.segment_of_step, A.chunks_per_step)
+            ws = ws + seg[:, None]
         xcol = ws[:, :, None] * LANE + A.local_index
         gathered = jnp.take(xf, xcol, axis=0, mode="clip")
         contrib = (A.value[..., None] * gathered).sum(axis=1)

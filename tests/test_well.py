@@ -214,3 +214,17 @@ def test_auto_segmenting_for_large_x():
     A = DeviceWell.from_host(w, dtype=jnp.float32)
     assert A.segment_rows == 1024
     assert A.segment_of_step is not None
+
+
+def test_segmented_spmm_xla_path():
+    import jax.numpy as jnp
+
+    from spmv_tpu.ops import spmm
+
+    mm = poisson2d(24, 24)
+    w = WellMatrix.from_matrix_market(mm, window_rows=2)
+    A = DeviceWell.from_host(w, segment_rows=4)
+    X = np.random.default_rng(40).standard_normal((w.num_columns, 3))
+    Y = np.asarray(spmm(A, jnp.asarray(X)))
+    want = np.stack([w.spmv(X[:, j]) for j in range(3)], axis=1)
+    np.testing.assert_allclose(Y, want, rtol=1e-10)
