@@ -95,7 +95,7 @@ def _run() -> None:
         }))
         return
 
-    timing = time_kernel(step, (x2d, A), k_small=2, k_large=10, runs=8)
+    timing = time_kernel(step, (x2d, A), k_small=4, k_large=24, runs=8)
     t = timing.seconds_per_iteration
 
     # Secondary: multi-vector SpMM (k=4) through the Pallas kernel.
@@ -109,7 +109,7 @@ def _run() -> None:
         return dia_spmm_core(A, x3d, tile_rows=256, interpret=interpret)
 
     t_spmm = time_kernel(
-        spmm_step, (x3d, A), k_small=2, k_large=8, runs=6
+        spmm_step, (x3d, A), k_small=4, k_large=16, runs=6
     ).seconds_per_iteration
     spmm_bytes = dia.num_diagonals * 4 * n + 2 * k * n * 4
 
@@ -124,7 +124,7 @@ def _run() -> None:
                              interpret=interpret)
 
     t_bf16 = time_kernel(
-        bstep, (xb2d, Ab), k_small=2, k_large=10, runs=6
+        bstep, (xb2d, Ab), k_small=8, k_large=64, runs=6
     ).seconds_per_iteration
 
     # Minimum HBM traffic: diagonals streamed once, x read once,
