@@ -320,7 +320,7 @@ class DeviceDia:
                  "block_of_step", "segment_of_step", "spill"],
     meta_fields=["num_rows", "num_columns", "num_entries", "window_rows",
                  "num_chunks", "num_groups", "chunks_per_step",
-                 "segment_rows"],
+                 "blocks_per_out", "segment_rows"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceWell:
@@ -341,6 +341,7 @@ class DeviceWell:
                               # and no step spans two y blocks
     num_groups: int
     chunks_per_step: int      # K: chunks fused into one grid step
+    blocks_per_out: int       # B: 8-group blocks per output tile
     segment_rows: Optional[int]  # x rows staged per segment, or None
                                  # for whole-x-in-VMEM mode
     value: jax.Array          # (chunks, 8, LANE)
@@ -358,7 +359,7 @@ class DeviceWell:
     @classmethod
     def from_host(
         cls, m: WellMatrix, dtype=None, chunks_per_step: int = 8,
-        segment_rows: Optional[int] = None,
+        segment_rows: Optional[int] = None, blocks_per_out: int = 1,
     ) -> "DeviceWell":
         """Device conversion.
 
@@ -369,7 +370,6 @@ class DeviceWell:
         for banded/reordered matrices of any size.
         """
         dtype = dtype or default_value_dtype()
-        k = max(int(chunks_per_step), 1)
         if segment_rows is None:
             # whole-x mode needs x resident in VMEM: switch to
             # segment streaming automatically when it cannot fit
@@ -378,8 +378,15 @@ class DeviceWell:
                     np.float32 if dtype != jnp.float64 else np.float64
                 ).itemsize
             if x_bytes > 8 * 1024 * 1024:
-                segment_rows = 1024
+                # large-x defaults: wider segments + folded output
+                # blocks amortize the per-grid-step overhead
+                segment_rows = 4096
+                if blocks_per_out == 1 and chunks_per_step == 8:
+                    blocks_per_out = 4
+                    chunks_per_step = 32
 
+        k = max(int(chunks_per_step), 1)
+        b_out = max(int(blocks_per_out), 1)
         grp = np.asarray(m.group_of_chunk)
         ws_full = np.asarray(m.window_start).copy()   # (chunks, 8)
         value_full = np.asarray(m.value).copy()
@@ -402,13 +409,25 @@ class DeviceWell:
                 active, ws_full, np.iinfo(np.int32).min
             ).max(axis=1)
             smax = np.where(has, smax, 0)
-            # Segment starts need no alignment — quantize to a
-            # half-segment grid so any chunk whose windows span at
-            # most seg/2 rows always fits one segment (aligned
-            # segments inevitably split boundary-straddling chunks).
+            # One segment per 8-group OUTPUT BLOCK (so runs never
+            # fragment and chunks_per_step stays effective), starting
+            # at the block's minimum window row — segment starts need
+            # no alignment, so any block whose windows span at most
+            # seg rows fits entirely.
+            blocks_of = np.asarray(m.group_of_chunk) // (
+                SUBLANE * b_out
+            )
+            nblk = int(blocks_of.max()) + 1 if blocks_of.size else 1
+            blk_min = np.full(nblk, np.iinfo(np.int64).max)
+            np.minimum.at(
+                blk_min, blocks_of, np.where(has, smin, 2**31)
+            )
+            blk_min = np.where(
+                blk_min == np.iinfo(np.int64).max, 0, blk_min
+            )
             qs = max(seg // 2, 1)
-            seg_start = (smin // qs) * qs
-            seg_start = np.where(has, seg_start, 0)
+            seg_start = (blk_min[blocks_of] // qs) * qs
+            seg_start = np.where(has, seg_start, seg_start)
             # slots whose window still escapes spill INDIVIDUALLY
             lo_ok = ws_full >= seg_start[:, None]
             hi_ok = ws_full <= (seg_start + seg)[:, None]
@@ -462,7 +481,7 @@ class DeviceWell:
         # Pad each chunk run to a multiple of K with inert chunks so
         # one grid step never spans two output blocks, and (segmented
         # mode) never spans two x segments.
-        blocks = grp // SUBLANE
+        blocks = grp // (SUBLANE * b_out)
         run_key = (
             blocks.astype(np.int64) if seg_id is None
             else blocks.astype(np.int64) * (int(seg_id.max()) + 2)
@@ -494,7 +513,8 @@ class DeviceWell:
                 ))
                 ws_parts.append(np.zeros((pad, SUBLANE), np.int32))
                 grp_parts.append(np.full(
-                    pad, int(blocks[sel[0]]) * SUBLANE, dtype=np.int32
+                    pad, int(blocks[sel[0]]) * SUBLANE * b_out,
+                    dtype=np.int32,
                 ))
             nsteps = (c + pad) // k
             blk_steps.extend([int(blocks[sel[0]])] * nsteps)
@@ -521,6 +541,7 @@ class DeviceWell:
             num_chunks=int(value.shape[0]),
             num_groups=m.num_groups,
             chunks_per_step=k,
+            blocks_per_out=b_out,
             segment_rows=(None if segment_rows is None
                           else int(segment_rows)),
             value=jnp.asarray(value, dtype=dtype),

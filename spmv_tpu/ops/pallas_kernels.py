@@ -290,13 +290,13 @@ def dia_spmv(
 
 
 def _well_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref, y_ref,
-                 *, window_rows, k, dtype):
+                 *, window_rows, k, out_rows, dtype):
     i = pl.program_id(0)
     first_of_block = jnp.logical_or(
         i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
     )
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, LANE), 0)
-    acc_blk = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANE), 0)
+    acc_blk = jnp.zeros((out_rows, LANE), dtype=dtype)
     for kk in range(k):
         loc = l_ref[kk]
         lrow = loc >> 7
@@ -315,11 +315,11 @@ def _well_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref, y_ref,
                 lrow == m, val * gthr, jnp.zeros_like(val)
             )
         strip = jnp.sum(acc, axis=0, keepdims=True)        # (1, LANE)
-        grow = grp_ref[0, 0, kk] & 7
+        grow = grp_ref[0, 0, kk] % out_rows
         acc_blk = acc_blk + jnp.where(
             row_iota == grow,
-            jnp.broadcast_to(strip, (SUBLANE, LANE)),
-            jnp.zeros((SUBLANE, LANE), dtype=dtype),
+            jnp.broadcast_to(strip, (out_rows, LANE)),
+            jnp.zeros((out_rows, LANE), dtype=dtype),
         )
 
     @pl.when(first_of_block)
@@ -365,9 +365,11 @@ def well_spmv_padded(
     xf = x.astype(A.value.dtype)
     x2d = jnp.pad(xf, (0, xrows * LANE - x.shape[0])).reshape(xrows, LANE)
 
-    padded_groups = round_up(A.num_groups, SUBLANE)
+    out_rows = SUBLANE * A.blocks_per_out
+    padded_groups = round_up(A.num_groups, out_rows)
     kernel = functools.partial(
-        _well_kernel, window_rows=m, k=k, dtype=A.value.dtype
+        _well_kernel, window_rows=m, k=k, out_rows=out_rows,
+        dtype=A.value.dtype,
     )
     y2d = pl.pallas_call(
         kernel,
@@ -398,7 +400,7 @@ def well_spmv_padded(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (SUBLANE, LANE),
+                (out_rows, LANE),
                 lambda i, blk: (blk[i], 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -414,7 +416,7 @@ def well_spmv_padded(
 
 def _well_seg_kernel(blk_ref, seg_ref, ws_ref, grp_ref, x_hbm,
                      v_ref, l_ref, y_ref, win, sems, *,
-                     window_rows, k, seg_rows, dtype):
+                     window_rows, k, seg_rows, out_rows, dtype):
     """Segmented WELL: x streams through a sliding VMEM segment.
 
     seg_ref[i] is the x2d start row of step i's segment (constant
@@ -442,8 +444,8 @@ def _well_seg_kernel(blk_ref, seg_ref, ws_ref, grp_ref, x_hbm,
     first_of_block = jnp.logical_or(
         i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
     )
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, LANE), 0)
-    acc_blk = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANE), 0)
+    acc_blk = jnp.zeros((out_rows, LANE), dtype=dtype)
     for kk in range(k):
         loc = l_ref[kk]
         lrow = loc >> 7
@@ -461,11 +463,11 @@ def _well_seg_kernel(blk_ref, seg_ref, ws_ref, grp_ref, x_hbm,
                 lrow == m, val * gthr, jnp.zeros_like(val)
             )
         strip = jnp.sum(acc, axis=0, keepdims=True)
-        grow = grp_ref[0, 0, kk] & 7
+        grow = grp_ref[0, 0, kk] % out_rows
         acc_blk = acc_blk + jnp.where(
             row_iota == grow,
-            jnp.broadcast_to(strip, (SUBLANE, LANE)),
-            jnp.zeros((SUBLANE, LANE), dtype=dtype),
+            jnp.broadcast_to(strip, (out_rows, LANE)),
+            jnp.zeros((out_rows, LANE), dtype=dtype),
         )
 
     @pl.when(first_of_block)
@@ -481,10 +483,11 @@ def _well_seg_call(A, x2d, interpret):
     m = A.window_rows
     k = A.chunks_per_step
     seg_rows = A.segment_rows
-    padded_groups = round_up(A.num_groups, SUBLANE)
+    out_rows = SUBLANE * A.blocks_per_out
+    padded_groups = round_up(A.num_groups, out_rows)
     kernel = functools.partial(
         _well_seg_kernel, window_rows=m, k=k, seg_rows=seg_rows,
-        dtype=A.value.dtype,
+        out_rows=out_rows, dtype=A.value.dtype,
     )
     return pl.pallas_call(
         kernel,
@@ -515,7 +518,7 @@ def _well_seg_call(A, x2d, interpret):
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (SUBLANE, LANE),
+                (out_rows, LANE),
                 lambda i, blk, seg: (blk[i], 0),
                 memory_space=pltpu.VMEM,
             ),

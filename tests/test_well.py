@@ -212,7 +212,8 @@ def test_auto_segmenting_for_large_x():
     # pretend the column space is huge
     w.num_columns = 4_000_000
     A = DeviceWell.from_host(w, dtype=jnp.float32)
-    assert A.segment_rows == 1024
+    assert A.segment_rows == 4096
+    assert A.blocks_per_out == 4 and A.chunks_per_step == 32
     assert A.segment_of_step is not None
 
 
@@ -228,3 +229,25 @@ def test_segmented_spmm_xla_path():
     Y = np.asarray(spmm(A, jnp.asarray(X)))
     want = np.stack([w.spmv(X[:, j]) for j in range(3)], axis=1)
     np.testing.assert_allclose(Y, want, rtol=1e-10)
+
+
+@pytest.mark.parametrize("b_out", [2, 4])
+def test_blocks_per_out_folding(b_out):
+    """Multiple 8-group blocks folded into one output tile."""
+    import jax.numpy as jnp
+
+    mm = poisson2d(40, 40)   # 1600 rows -> 13 groups
+    w = WellMatrix.from_matrix_market(mm, window_rows=2)
+    A = DeviceWell.from_host(w, dtype=jnp.float32,
+                             blocks_per_out=b_out)
+    x = np.random.default_rng(50).standard_normal(w.num_rows)
+    y = np.asarray(well_spmv(A, jnp.asarray(x, jnp.float32),
+                             interpret=True))
+    np.testing.assert_allclose(y, w.spmv(x), rtol=1e-4, atol=1e-4)
+
+    # and combined with segmented mode
+    A2 = DeviceWell.from_host(w, dtype=jnp.float32,
+                              blocks_per_out=b_out, segment_rows=8)
+    y2 = np.asarray(well_spmv(A2, jnp.asarray(x, jnp.float32),
+                              interpret=True))
+    np.testing.assert_allclose(y2, w.spmv(x), rtol=1e-4, atol=1e-4)
