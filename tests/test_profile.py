@@ -1,0 +1,69 @@
+"""Profiling harness and JSON report utilities."""
+
+import json
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from spmv_tpu.profile.harness import profile_kernel_fn, time_kernel
+from spmv_tpu.utils.jsonio import dump_json, json_dumps, sanitize
+from spmv_tpu.utils.sample import compute_sample
+
+
+def test_time_kernel_chained_slope():
+    # a cheap but non-collapsible step: v <- v * c + 1
+    c = jnp.float32(0.999)
+
+    def step(v, c):
+        return v * c + 1.0
+
+    v0 = jnp.ones((1024,), jnp.float32)
+    t = time_kernel(step, (v0, c), k_small=2, k_large=10, runs=3)
+    assert t.seconds_per_iteration > 0
+    d = t.to_json()
+    assert d["k_small"] == 2 and d["k_large"] == 10
+    assert d["runs_small_seconds"]["size"] == 3
+
+
+def test_profile_kernel_fn_between_runs():
+    calls = []
+
+    def step(v):
+        return v + 1.0
+
+    sample = profile_kernel_fn(
+        step, (jnp.zeros((8,), jnp.float32),), runs=4,
+        between_runs=lambda: calls.append(1),
+    )
+    assert sample.size == 4
+    assert len(calls) == 4     # flush analogue ran before every run
+    assert sample.min > 0
+
+
+def test_sample_statistics_shapes():
+    s = compute_sample([3.0, 1.0, 2.0, 4.0], unit="s")
+    d = s.to_json()
+    assert d["min"] == 1.0 and d["max"] == 4.0
+    assert d["median"] == 2.5 and d["unit"] == "s"
+    # reference estimator semantics: n-1 variance
+    assert math.isclose(d["variance"], np.var([1, 2, 3, 4], ddof=1))
+
+
+def test_jsonio_nan_handling():
+    doc = {"a": float("nan"), "b": float("inf"), "c": [1.0, -float("inf")]}
+    out = json_dumps(sanitize(doc))
+    parsed = json.loads(out)       # must be VALID json (no bare NaN)
+    assert parsed["a"] == "nan"
+    assert parsed["b"] == "inf"
+    assert parsed["c"][1] == "-inf"
+
+
+def test_dump_json_indent(tmp_path):
+    import io
+
+    buf = io.StringIO()
+    dump_json({"x": {"y": 1}}, buf)
+    text = buf.getvalue()
+    assert '"y": 1' in text and text.startswith("{")
+    assert "\n" in text            # pretty-printed like json_ostreambuf
