@@ -232,7 +232,6 @@ def _profile(args, out) -> None:
     import jax
 
     from spmv_tpu.profile.harness import profile_kernel_fn, time_kernel
-    from spmv_tpu.perfmodel.tiling import TPU_V5E, roofline_time
     from spmv_tpu.utils.jsonio import dump_json
 
     kernel = _make_kernel(args)
@@ -266,39 +265,24 @@ def _profile(args, out) -> None:
         )
         chained = time_kernel(step, fargs)
 
-    config_doc = None
+    config = None
     if args.trace_config:
         from spmv_tpu.perfmodel.trace_config import read_trace_config
 
-        config_doc = read_trace_config(args.trace_config).to_json()
+        config = read_trace_config(args.trace_config)
 
-    t = chained.seconds_per_iteration
-    roof = roofline_time(
-        kernel.bytes_per_run(), kernel.flops_per_run(), machine=TPU_V5E
+    from spmv_tpu.profile.report import profiling_report
+
+    doc = profiling_report(
+        kernel,
+        runs_sample=runs,
+        seconds_per_iteration=chained.seconds_per_iteration,
+        num_runs=args.profile,
+        warmup=args.warmup,
+        flush_caches=bool(args.flush_caches),
+        trace_config=config,
+        jax_profile_dir=args.jax_profile,
     )
-    doc = {
-        "trace_config": config_doc,
-        "kernel": kernel.describe(),
-        "warmup": bool(args.warmup),
-        "flush_caches": bool(args.flush_caches),
-        "runs": args.profile,
-        "device": {
-            "platform": jax.devices()[0].platform,
-            "device_kind": jax.devices()[0].device_kind,
-        },
-        # Reference report shape (profile-kernel.cpp:376-391): wall
-        # times of N whole runs.  On a tunneled backend these include
-        # dispatch/fetch; the chained estimate isolates device time.
-        "jax_profile_dir": args.jax_profile,
-        "execution_time": runs.to_json(),
-        "device_seconds_per_iteration": t,
-        "roofline": roof,
-        "achieved": {
-            "gflop_per_s": kernel.flops_per_run() / t / 1e9,
-            "gb_per_s_modeled": kernel.bytes_per_run() / t / 1e9,
-            "fraction_of_roofline": roof["time_roofline_s"] / t,
-        },
-    }
     dump_json(doc, out)
 
 

@@ -5,5 +5,11 @@ from spmv_tpu.profile.harness import (
     profile_kernel_fn,
     KernelTiming,
 )
+from spmv_tpu.profile.report import profiling_report
 
-__all__ = ["time_kernel", "profile_kernel_fn", "KernelTiming"]
+__all__ = [
+    "time_kernel",
+    "profile_kernel_fn",
+    "KernelTiming",
+    "profiling_report",
+]
