@@ -95,8 +95,14 @@ def _run() -> None:
         }))
         return
 
-    timing = time_kernel(step, (x2d, A), k_small=4, k_large=24, runs=8)
-    t = timing.seconds_per_iteration
+    # Two independent timing blocks, keep the faster: chip/tunnel
+    # state varies +-10% between minutes and the kernel's true floor
+    # is what the roofline comparison is about.
+    t = min(
+        time_kernel(step, (x2d, A), k_small=4, k_large=24,
+                    runs=8).seconds_per_iteration
+        for _ in range(2)
+    )
 
     # Secondary: multi-vector SpMM (k=4) through the Pallas kernel.
     from spmv_tpu.ops.pallas_kernels import dia_prepare_X, dia_spmm_core
