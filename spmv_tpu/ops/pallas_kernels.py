@@ -66,6 +66,8 @@ __all__ = [
     "dia_prepare_X",
     "dia_extract_Y",
     "bsr_spmm",
+    "well_spmm",
+    "well_spmm_padded",
 ]
 
 
@@ -787,3 +789,141 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
         interpret=interpret,
     )(A.block_col, A.block_row, *([x3d] * kb), A.blocks)
     return y3d.reshape(-1, k)[: A.num_rows]
+
+
+# ----------------------------------------------------------------------
+# WELL SpMM: multi-vector shuffle-gather.  X rides a (rows, k, LANE)
+# layout; each slot's lane shuffle applies identically to all k
+# vectors, so index traffic and window logic amortize over k like the
+# DIA SpMM.  Whole-x VMEM mode (the XLA path covers larger x).
+# ----------------------------------------------------------------------
+
+
+def _well_spmm_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref,
+                      y_ref, *, window_rows, k, nvec, out_rows, dtype):
+    i = pl.program_id(0)
+    first_of_block = jnp.logical_or(
+        i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
+    )
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (out_rows, nvec, LANE), 0
+    )
+    acc_blk = jnp.zeros((out_rows, nvec, LANE), dtype=dtype)
+    for kk in range(k):
+        loc = l_ref[kk]
+        lrow = loc >> 7
+        llane = loc & (LANE - 1)
+        val = v_ref[kk]
+        strip = jnp.zeros((nvec, LANE), dtype=dtype)
+        for s in range(SUBLANE):
+            idx = jnp.broadcast_to(llane[s][None, :], (nvec, LANE))
+            vs = val[s][None, :]
+            for m in range(window_rows):
+                bt = x_ref[ws_ref[0, s, kk] + m]      # (nvec, LANE)
+                g = jnp.take_along_axis(bt, idx, axis=1)
+                strip = strip + jnp.where(
+                    lrow[s][None, :] == m, vs * g,
+                    jnp.zeros((nvec, LANE), dtype=dtype),
+                )
+        grow = grp_ref[0, 0, kk] % out_rows
+        acc_blk = acc_blk + jnp.where(
+            row_iota == grow,
+            jnp.broadcast_to(strip[None], (out_rows, nvec, LANE)),
+            jnp.zeros((out_rows, nvec, LANE), dtype=dtype),
+        )
+
+    @pl.when(first_of_block)
+    def _():
+        y_ref[:] = acc_blk
+
+    @pl.when(jnp.logical_not(first_of_block))
+    def _():
+        y_ref[:] += acc_blk
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def well_spmm_padded(
+    A: DeviceWell, X: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Y = A @ X over the WELL chunks (spill not included), shape
+    (padded_groups * LANE, k)."""
+    if A.segment_rows is not None:
+        raise MatrixError(
+            "well_spmm_padded supports whole-x devices only; use the "
+            "XLA spmm path for segmented matrices"
+        )
+    m = A.window_rows
+    k = A.chunks_per_step
+    nvec = X.shape[1]
+    xrows = _cdiv(A.num_columns, LANE) + m + 1
+    vmem_bytes = xrows * nvec * LANE * A.value.dtype.itemsize
+    if vmem_bytes > 8 * 1024 * 1024:
+        raise MatrixError(
+            f"X ({vmem_bytes/1e6:.0f} MB padded) exceeds the WELL "
+            "spmm kernel's VMEM budget; use ops.spmm (XLA) or shard"
+        )
+    xf = X.astype(A.value.dtype)
+    x3d = jnp.pad(
+        xf, ((0, xrows * LANE - X.shape[0]), (0, 0))
+    ).reshape(xrows, LANE, nvec).transpose(0, 2, 1)
+
+    out_rows = SUBLANE * A.blocks_per_out
+    padded_groups = round_up(A.num_groups, out_rows)
+    kernel = functools.partial(
+        _well_spmm_kernel, window_rows=m, k=k, nvec=nvec,
+        out_rows=out_rows, dtype=A.value.dtype,
+    )
+    y3d = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(A.num_chunks // k,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, SUBLANE, k),
+                    lambda i, blk: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, k),
+                    lambda i, blk: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (k, SUBLANE, LANE),
+                    lambda i, blk: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (k, SUBLANE, LANE),
+                    lambda i, blk: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (out_rows, nvec, LANE),
+                lambda i, blk: (blk[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_groups, nvec, LANE), A.value.dtype
+        ),
+        interpret=interpret,
+    )(A.block_of_step, A.window_start, A.group_of_chunk,
+      x3d, A.value, A.local_index)
+    # (groups, k, LANE) -> flat rows x k
+    return y3d.transpose(0, 2, 1).reshape(-1, nvec)
+
+
+def well_spmm(
+    A: DeviceWell, X: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Y = A @ X including the spill remainder, true row count."""
+    Y = well_spmm_padded(A, X, interpret=interpret)[: A.num_rows]
+    if A.spill is not None:
+        from spmv_tpu.ops.spmv import spmm as _xla_spmm
+
+        Y = Y + _xla_spmm(A.spill, X.astype(Y.dtype))[: A.num_rows]
+    return Y

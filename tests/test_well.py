@@ -251,3 +251,26 @@ def test_blocks_per_out_folding(b_out):
     y2 = np.asarray(well_spmv(A2, jnp.asarray(x, jnp.float32),
                               interpret=True))
     np.testing.assert_allclose(y2, w.spmv(x), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_interpret():
+    from spmv_tpu.ops.pallas_kernels import well_spmm
+
+    mm = poisson2d(20, 24)
+    w = WellMatrix.from_matrix_market(mm, window_rows=2)
+    A = DeviceWell.from_host(w, dtype=jnp.float32)
+    X = np.random.default_rng(60).standard_normal(
+        (w.num_columns, 3)
+    ).astype(np.float32)
+    Y = np.asarray(well_spmm(A, jnp.asarray(X), interpret=True))
+    want = np.stack(
+        [w.spmv(X[:, j].astype(np.float64)) for j in range(3)], axis=1
+    )
+    assert Y.shape == (w.num_rows, 3)
+    np.testing.assert_allclose(Y, want, rtol=1e-4, atol=1e-4)
+
+    # segmented devices route to XLA
+    from spmv_tpu.errors import MatrixError
+    A2 = DeviceWell.from_host(w, segment_rows=8, dtype=jnp.float32)
+    with pytest.raises(MatrixError):
+        well_spmm(A2, jnp.asarray(X), interpret=True)
