@@ -3,14 +3,16 @@
 A Kernel bundles: problem setup (load/convert the matrix, allocate the
 vectors — ``init``), a device-executable step (``run_fn``), and the
 synthetic per-thread memory reference string for the cache simulator
-(``memory_reference_string``).  Seven kernels mirror the reference's
-seven (src/main.cpp:28-37):
+(``memory_reference_string``).  The reference's seven kernels
+(src/main.cpp:28-37) all have analogues, plus the TPU-native formats:
 
   triad, coo, coo-atomic, csr, ell, hybrid  — full analogues
   xla-csr                                   — the vendor-library
       comparison point (the reference's mkl-csr): SpMV through XLA's
       own gather/segment lowering with ``memory_reference_string``
-      unimplemented, exactly like mkl-csr-spmv.cpp:74-81.
+      unimplemented, exactly like mkl-csr-spmv.cpp:74-81
+  dia, well                                 — the TPU-native formats
+      with Pallas fast paths (models/dia.py, models/well.py)
 
 ``prepare`` (NUMA page placement in the reference) has no host-side
 analogue: data placement on TPU happens at ``device_put`` time with

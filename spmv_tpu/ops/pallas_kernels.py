@@ -8,13 +8,17 @@ Design constraints discovered on the target chip
 (experiments/tpu_probe3_gather2.py): arbitrary sublane gathers inside
 Pallas miscompile on this Mosaic version; only lane-dimension
 operations (roll / take_along_axis axis=1) are reliable.  The kernels
-therefore use *zero* gathers:
+therefore use *zero* sublane gathers:
 
-- DIA SpMV: each diagonal offset o = s*LANE + t decomposes into a
+- DIA SpMV/SpMM: each diagonal offset o = s*LANE + t decomposes into a
   static sublane shift s (a static slice of a VMEM x window) and a
   static lane roll t (pltpu.roll + boundary select) — pure streaming
   FMAs, the TPU analogue of the reference's unit-stride triad loop
   rather than its gather-based CSR loop (csr-matrix-spmv.cpp:29-33).
+- WELL SpMV/SpMM: per-slot lane shuffles from narrow column windows
+  (whole-x VMEM or segment-streamed), K-batched grid steps with
+  output-block folding — see the section comments below.
+- BSR SpMM: dense (128, 128) blocks as native MXU matmuls.
 
 Memory plan per y tile (tile_rows x LANE):
 - the diagonal data block and y tile ride the regular Mosaic
