@@ -374,9 +374,7 @@ class DeviceWell:
             # whole-x mode needs x resident in VMEM: switch to
             # segment streaming automatically when it cannot fit
             x_bytes = (-(-m.num_columns // LANE) + m.window_rows + 1) \
-                * LANE * np.dtype(
-                    np.float32 if dtype != jnp.float64 else np.float64
-                ).itemsize
+                * LANE * jnp.dtype(dtype).itemsize
             if x_bytes > 8 * 1024 * 1024:
                 # large-x defaults: wider segments + folded output
                 # blocks amortize the per-grid-step overhead
@@ -420,14 +418,21 @@ class DeviceWell:
             nblk = int(blocks_of.max()) + 1 if blocks_of.size else 1
             blk_min = np.full(nblk, np.iinfo(np.int64).max)
             np.minimum.at(
-                blk_min, blocks_of, np.where(has, smin, 2**31)
+                blk_min, blocks_of,
+                np.where(has, smin, np.iinfo(np.int64).max),
             )
+            # blocks whose chunks are all inert never updated blk_min
             blk_min = np.where(
                 blk_min == np.iinfo(np.int64).max, 0, blk_min
             )
+            # Quantizing starts to a half-segment grid lets adjacent
+            # blocks share a segment (one DMA amortizes over many
+            # steps).  The lowered start costs up to qs-1 rows of the
+            # window, so the guarantee is: spans <= seg/2 always fit;
+            # wider spans may spill some slots to the CSR path.
             qs = max(seg // 2, 1)
             seg_start = (blk_min[blocks_of] // qs) * qs
-            seg_start = np.where(has, seg_start, seg_start)
+            seg_start = np.where(has, seg_start, 0)
             # slots whose window still escapes spill INDIVIDUALLY
             lo_ok = ws_full >= seg_start[:, None]
             hi_ok = ws_full <= (seg_start + seg)[:, None]

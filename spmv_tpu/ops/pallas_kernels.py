@@ -100,7 +100,8 @@ class DiaPlan:
         return self.front_blocks * self.tile_rows * LANE
 
 
-def make_plan(A: DeviceDia, tile_rows: int = 256) -> DiaPlan:
+def make_plan(A: DeviceDia, tile_rows: int = 256,
+              nvec: int = 1) -> DiaPlan:
     w = int(tile_rows)
     if w % SUBLANE:
         raise MatrixError(f"tile_rows must be a multiple of {SUBLANE}")
@@ -108,11 +109,13 @@ def make_plan(A: DeviceDia, tile_rows: int = 256) -> DiaPlan:
     srows = [o // LANE for o in offs]           # floor division
     smin_row, smax_row = min(min(srows), 0), max(max(srows), 0)
     wr = round_up((smax_row + w + 1) - smin_row, SUBLANE)
-    if 2 * wr * LANE * 4 > 12 * 1024 * 1024:
+    itemsize = jnp.dtype(A.data.dtype).itemsize
+    if 2 * wr * nvec * LANE * itemsize > 12 * 1024 * 1024:
         raise MatrixError(
             f"diagonal span {smax_row - smin_row} rows needs a "
-            f"{wr}-row window per tile — beyond the VMEM budget; "
-            "reorder the matrix (RCM) or use another format"
+            f"{wr}-row x {nvec}-vector window per tile — beyond the "
+            "VMEM budget; reorder the matrix (RCM), reduce k, or use "
+            "another format"
         )
     fb = _cdiv(max(0, -smin_row), w)
     nb = _cdiv(A.padded_rows // LANE, w)
@@ -341,7 +344,8 @@ def _well_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref, y_ref,
 def well_spmv_padded(
     A: DeviceWell, x: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """y = A @ x over the WELL chunks, length round_up(num_groups,8)*128.
+    """y = A @ x over the WELL chunks, of length
+    round_up(num_groups, 8 * blocks_per_out) * 128.
 
     The spill remainder is NOT included — callers add it (well_spmv
     composes both; this function is the bare Pallas path).
@@ -600,22 +604,27 @@ def _dia_spmm_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan,
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (w, nvec, LANE), 2
         )
-        acc = jnp.zeros((w, nvec, LANE), dtype=dtype)
+        # As in _dia_kernel: pltpu.roll only rotates 32-bit data, so
+        # sub-fp32 storage casts up after the VMEM load and
+        # accumulates in f32.
+        acc_dt = (dtype if jnp.dtype(dtype).itemsize >= 4
+                  else jnp.float32)
+        acc = jnp.zeros((w, nvec, LANE), dtype=acc_dt)
         for kd, off in enumerate(offsets):
             s, t = divmod(off, LANE)
             lo = s - plan.smin_row
             if t == 0:
-                shifted = win[slot, pl.ds(lo, w)]
+                shifted = win[slot, pl.ds(lo, w)].astype(acc_dt)
             else:
-                rows = win[slot, pl.ds(lo, w + 1)]
+                rows = win[slot, pl.ds(lo, w + 1)].astype(acc_dt)
                 rolled = pltpu.roll(rows, LANE - t, axis=2)
                 shifted = jnp.where(
                     lane < LANE - t,
                     jax.lax.slice_in_dim(rolled, 0, w, axis=0),
                     jax.lax.slice_in_dim(rolled, 1, w + 1, axis=0),
                 )
-            acc = acc + d_ref[kd][:, None, :] * shifted
-        y_ref[:] = acc
+            acc = acc + d_ref[kd].astype(acc_dt)[:, None, :] * shifted
+        y_ref[:] = acc.astype(dtype)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -630,10 +639,10 @@ def dia_spmm_core(
     """Y = A @ X in the padded layout: x3d (total_rows, k, LANE) from
     :func:`dia_prepare_X`; output in the same layout (chainable for
     square matrices, like dia_spmv_core)."""
-    plan = make_plan(A, tile_rows)
+    nvec = x3d.shape[1]
+    plan = make_plan(A, tile_rows, nvec=nvec)
     w = plan.tile_rows
     d, r0, _ = A.data.shape
-    nvec = x3d.shape[1]
     nbw = plan.num_tiles * w
     data = A.data
     if nbw != r0:

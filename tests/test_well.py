@@ -274,3 +274,44 @@ def test_pallas_spmm_interpret():
     A2 = DeviceWell.from_host(w, segment_rows=8, dtype=jnp.float32)
     with pytest.raises(MatrixError):
         well_spmm(A2, jnp.asarray(X), interpret=True)
+
+
+def test_segmented_empty_block_has_valid_segment():
+    """Regression (review finding): a 1024-row run of empty rows used
+    to produce a wrapped negative segment start (out-of-bounds DMA on
+    hardware)."""
+    import jax.numpy as jnp
+
+    from spmv_tpu.io.matrix_market import MatrixMarket
+
+    # rows 0..127 and 2176..2303 populated; the middle ~2048 rows
+    # (two full 8-group output blocks) are empty
+    r = np.concatenate([np.arange(128), np.arange(2176, 2304)])
+    c = r.copy()
+    mm = MatrixMarket("matrix", "coordinate", "real", "general",
+                      2304, 2304, r.size, r + 1, c + 1,
+                      np.ones(r.size))
+    w = WellMatrix.from_matrix_market(mm, window_rows=1)
+    A = DeviceWell.from_host(w, dtype=jnp.float32, segment_rows=4)
+    segs = np.asarray(A.segment_of_step)
+    assert (segs >= 0).all(), segs.min()
+    x = np.random.default_rng(70).standard_normal(2304)
+    y = np.asarray(well_spmv(A, jnp.asarray(x, jnp.float32),
+                             interpret=True))
+    np.testing.assert_allclose(y, w.spmv(x), rtol=1e-4, atol=1e-4)
+
+
+def test_dia_spmm_fp64_interpret_after_upcast_fix():
+    from spmv_tpu.ops.pallas_kernels import dia_spmm
+
+    mm = poisson2d(10, 12)
+    from spmv_tpu.models import DiaMatrix
+    from spmv_tpu.models.device import DeviceDia
+
+    dia = DiaMatrix.from_matrix_market(mm)
+    A = DeviceDia.from_host(dia)  # fp64 under tests
+    X = np.random.default_rng(71).standard_normal((mm.num_columns, 2))
+    Y = np.asarray(dia_spmm(A, jnp.asarray(X), tile_rows=8,
+                            interpret=True))
+    want = np.stack([dia.spmv(X[:, j]) for j in range(2)], axis=1)
+    np.testing.assert_allclose(Y, want, rtol=1e-12)
