@@ -13,7 +13,7 @@ where value is the achieved fraction of the memory-bandwidth roofline
 (BASELINE.json target: >= 0.80) and vs_baseline = value / 0.80.
 
 Correctness is gated in-line: an on-device |y| checksum must match the
-fp64 host reference to 1e-5 before any timing is reported.
+fp64 host reference to CHECKSUM_RTOL before any timing is reported.
 """
 
 from __future__ import annotations
@@ -24,6 +24,8 @@ import time
 
 TILE_ROWS = 512
 BASELINE_FRACTION = 0.80
+# fp32 |y| checksum over ~84M entries vs the fp64 host reference
+CHECKSUM_RTOL = 1e-4
 
 
 def main() -> None:
@@ -85,7 +87,7 @@ def _run() -> None:
     want = float(np.abs(dia.spmv(x.astype(np.float64))).sum())
     got = float(checksum(x2d, A))
     rel = abs(got - want) / want
-    if rel > 1e-4:
+    if rel > CHECKSUM_RTOL:
         print(json.dumps({
             "metric": "dia_spmv_roofline_fraction",
             "value": 0.0,

@@ -391,14 +391,22 @@ def write_matrix_market(mm: MatrixMarket, path_or_stream) -> None:
 
     The reference only reads Matrix Market; writing closes the loop for
     generating test fixtures and exporting reordered matrices.  Output
-    is always ``coordinate real general`` (symmetry is not re-folded).
+    is always ``coordinate real general``: a still-folded
+    symmetric/skew/hermitian matrix is expanded first so the mirrored
+    half is not silently dropped on round trip.
     """
+    if mm.symmetry != "general":
+        mm = mm.expand_symmetry()
     own = isinstance(path_or_stream, (str, bytes))
     stream = open(path_or_stream, "w") if own else path_or_stream
     try:
         stream.write("%%MatrixMarket matrix coordinate real general\n")
         for comment in mm.comments:
-            stream.write(f"%{comment}\n")
+            # Parsed comments keep their leading '%'; don't double it.
+            stream.write(
+                f"{comment}\n" if comment.startswith("%")
+                else f"%{comment}\n"
+            )
         stream.write(
             f"{mm.num_rows} {mm.num_columns} {mm.num_entries}\n"
         )

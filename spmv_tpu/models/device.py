@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spmv_tpu.errors import MatrixError
 from spmv_tpu.models.coo import CooMatrix
 from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.dia import DiaMatrix
@@ -370,6 +371,16 @@ class DeviceWell:
         for banded/reordered matrices of any size.
         """
         dtype = dtype or default_value_dtype()
+        if jnp.dtype(dtype).itemsize < 4:
+            # The WELL kernels accumulate in the value dtype and rely on
+            # dynamic single-row x loads + pltpu.roll, both of which are
+            # 32-bit-only on this Mosaic (and measured 2x slower when
+            # forced via paired 16-row tiles — experiments/RESULTS.md).
+            raise MatrixError(
+                "DeviceWell requires a >=32-bit value dtype; "
+                f"got {jnp.dtype(dtype).name}. Use float32, or DIA for "
+                "bfloat16 storage."
+            )
         if segment_rows is None:
             # whole-x mode needs x resident in VMEM: switch to
             # segment streaming automatically when it cannot fit
@@ -517,9 +528,13 @@ class DeviceWell:
                     (pad,) + loc_full.shape[1:], np.int32
                 ))
                 ws_parts.append(np.zeros((pad, SUBLANE), np.int32))
+                # Inert pad chunks carry the run's LAST real group so the
+                # flattened group_of_chunk stays non-decreasing: the XLA
+                # WELL paths feed it to segment_sum(indices_are_sorted=True)
+                # (ops/spmv.py), which is undefined for unsorted indices.
+                # (well_shard.py uses the same convention.)
                 grp_parts.append(np.full(
-                    pad, int(blocks[sel[0]]) * SUBLANE * b_out,
-                    dtype=np.int32,
+                    pad, int(grp[sel[-1]]), dtype=np.int32,
                 ))
             nsteps = (c + pad) // k
             blk_steps.extend([int(blocks[sel[0]])] * nsteps)

@@ -92,11 +92,14 @@ def _well_padded(A: DeviceWell, x: jax.Array) -> jax.Array:
     xcol = ws[:, :, None] * LANE + A.local_index
     gathered = jnp.take(xf, xcol, mode="clip")     # (chunks, 8, LANE)
     contrib = (A.value * gathered).sum(axis=1)     # (chunks, LANE)
+    # group_of_chunk is non-decreasing only in non-segmented packing
+    # (inert pad chunks carry the run's last group); segmented packing
+    # orders chunks (block, segment)-major, which can interleave groups.
     y = jax.ops.segment_sum(
         contrib,
         A.group_of_chunk.reshape(-1),
         num_segments=A.num_groups,
-        indices_are_sorted=True,
+        indices_are_sorted=A.segment_rows is None,
     ).reshape(-1)
     if A.spill is not None:
         pad = y.shape[0] - A.spill.padded_rows
@@ -131,7 +134,9 @@ def spmv_padded(A, x: jax.Array) -> jax.Array:
     if isinstance(A, DeviceWell):
         return _well_padded(A, x)
     if isinstance(A, DeviceBsr):
-        return spmm(A, x[:, None])[:, 0]
+        # keep the padded-length contract (tail rows are exact zeros)
+        y = spmm(A, x[:, None])[:, 0]
+        return jnp.pad(y, (0, A.num_block_rows * LANE - A.num_rows))
     raise TypeError(f"unsupported device matrix type: {type(A)!r}")
 
 
@@ -213,7 +218,7 @@ def spmm(A, X: jax.Array) -> jax.Array:
             contrib,
             A.group_of_chunk.reshape(-1),
             num_segments=A.num_groups,
-            indices_are_sorted=True,
+            indices_are_sorted=A.segment_rows is None,
         ).reshape(-1, X.shape[1])[: A.num_rows]
         if A.spill is not None:
             y = y + spmm(A.spill, xf)[: A.num_rows]

@@ -116,3 +116,20 @@ def test_pallas_interpret_fp64_and_poisson():
     X = np.random.default_rng(10).standard_normal((256, 2))
     Y = np.asarray(bsr_spmm(A, jnp.asarray(X), interpret=True))
     np.testing.assert_allclose(Y, b.spmm(X), rtol=1e-12)
+
+
+def test_spmv_padded_returns_padded_block_rows():
+    # spmv_padded's contract: padded length for sharded callers, tail
+    # rows exact zeros (ADVICE r1).
+    from spmv_tpu.ops.spmv import spmv_padded
+
+    mm = random_sparse(200, 150, 5, seed=21)
+    b = BsrMatrix.from_matrix_market(mm)
+    A = DeviceBsr.from_host(b, dtype=jnp.float32)
+    x = np.random.default_rng(22).standard_normal(150)
+    y = np.asarray(spmv_padded(A, jnp.asarray(x, dtype=jnp.float32)))
+    assert y.shape[0] == A.num_block_rows * 128
+    np.testing.assert_allclose(y[A.num_rows:], 0.0)
+    np.testing.assert_allclose(
+        y[: A.num_rows], np.asarray(spmv(A, jnp.asarray(x))), rtol=1e-6
+    )

@@ -182,3 +182,28 @@ def test_load_matrix_rcm_suffix(tmp_path):
     np.testing.assert_allclose(
         np.sort(loaded.values), np.sort(mm.values)
     )
+
+
+def test_write_expands_symmetry_and_preserves_comments():
+    # ADVICE r1: a still-folded symmetric matrix must not lose its
+    # mirrored half on round trip, and '%' comments must not double.
+    from spmv_tpu.io.matrix_market import write_matrix_market
+
+    text = (
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% a comment\n"
+        "2 2 2\n1 1 1.0\n2 1 3.0\n"
+    )
+    mm = parse_matrix_market(text)  # expand_symmetry=False default
+    buf = io.StringIO()
+    write_matrix_market(mm, buf)
+    back = parse_matrix_market(buf.getvalue())
+    d0 = np.zeros((2, 2))
+    np.add.at(d0, (back.rows_1based - 1, back.cols_1based - 1),
+              back.values)
+    np.testing.assert_allclose(d0, [[1.0, 3.0], [3.0, 0.0]])
+    # one round trip more: comments stay stable, no '%%' growth
+    buf2 = io.StringIO()
+    write_matrix_market(back, buf2)
+    assert buf2.getvalue().count("% a comment") == 1
+    assert "%% a comment" not in buf2.getvalue()

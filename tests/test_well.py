@@ -315,3 +315,25 @@ def test_dia_spmm_fp64_interpret_after_upcast_fix():
                             interpret=True))
     want = np.stack([dia.spmv(X[:, j]) for j in range(2)], axis=1)
     np.testing.assert_allclose(Y, want, rtol=1e-12)
+
+
+def test_group_of_chunk_nondecreasing_after_padding():
+    # ADVICE r1: inert pad chunks must carry the run's LAST group so the
+    # flattened group_of_chunk stays sorted for segment_sum's
+    # indices_are_sorted=True fast path (whole-x packing only).
+    mm = random_sparse(200, 200, 7, seed=11)
+    w = WellMatrix.from_matrix_market(mm, window_rows=2)
+    A = DeviceWell.from_host(w, chunks_per_step=8)
+    grp = np.asarray(A.group_of_chunk).reshape(-1)
+    assert (np.diff(grp) >= 0).all()
+    x = np.random.default_rng(12).standard_normal(200)
+    np.testing.assert_allclose(
+        np.asarray(spmv(A, jnp.asarray(x))), w.spmv(x), rtol=1e-5
+    )
+
+
+def test_device_well_rejects_sub32bit_values():
+    mm = poisson2d(10, 10)
+    w = WellMatrix.from_matrix_market(mm, window_rows=8)
+    with pytest.raises(MatrixError, match="32-bit"):
+        DeviceWell.from_host(w, dtype=jnp.bfloat16)
