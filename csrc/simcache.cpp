@@ -19,10 +19,17 @@
 //
 // Exposed as a C ABI for ctypes.  Build: csrc/Makefile -> libsimcache.so.
 
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
 #include <vector>
+
+// Progress callback: (refs_done, refs_total, is_warmup). Invoked from
+// the replay loop at most once per progress interval (the analogue of
+// the reference's SIGALRM progress printing, replacement.cpp:65-93,
+// without async signals — ctypes callbacks re-enter Python safely).
+typedef void (*simcache_progress_fn)(uint64_t, uint64_t, int);
 
 namespace {
 
@@ -150,22 +157,40 @@ void replay_pass(Cache &cache,
                  const int32_t *numa_domains,
                  const uint64_t *offsets,  // (P+1,) into the flat arrays
                  int num_numa_domains,
-                 int64_t *misses /* (P * num_numa_domains) or null */) {
+                 int64_t *misses, /* (P * num_numa_domains) or null */
+                 simcache_progress_fn progress,
+                 uint64_t progress_interval_ms) {
     std::vector<uint64_t> lens(num_threads);
-    uint64_t t_max = 0;
+    uint64_t t_max = 0, total = 0;
     for (int p = 0; p < num_threads; ++p) {
         lens[p] = offsets[p + 1] - offsets[p];
+        total += lens[p];
         if (lens[p] > t_max) t_max = lens[p];
     }
+    using clock = std::chrono::steady_clock;
+    auto last = clock::now();
+    uint64_t done = 0;
+    // check the clock every CHECK outer steps, not every reference
+    const uint64_t CHECK = 4096;
     for (uint64_t t = 0; t < t_max; ++t) {
         for (int p = 0; p < num_threads; ++p) {
             if (t < lens[p]) {
                 uint64_t k = offsets[p] + t;
                 int m = cache.allocate(addresses[k]);
+                ++done;
                 if (misses) {
                     misses[(uint64_t)p * num_numa_domains
                            + numa_domains[k]] += m;
                 }
+            }
+        }
+        if (progress && progress_interval_ms && (t % CHECK) == 0 && t) {
+            auto now = clock::now();
+            auto ms = std::chrono::duration_cast<std::chrono::milliseconds>(
+                          now - last).count();
+            if ((uint64_t)ms >= progress_interval_ms) {
+                last = now;
+                progress(done, total, misses == nullptr);
             }
         }
     }
@@ -183,6 +208,38 @@ extern "C" {
 //           the counted pass (cache-trace.cpp:129-141)
 //   misses_out: preallocated int64[P * num_numa_domains], zeroed here
 // Returns 0 on success.
+// With progress reporting: progress may be null; interval in ms.
+int simcache_replay_interleaved_progress(
+    int policy,
+    uint64_t cache_lines,
+    uint64_t line_size,
+    int num_threads,
+    const uint64_t *addresses,
+    const int32_t *numa_domains,
+    const uint64_t *offsets,
+    int num_numa_domains,
+    int warmup,
+    uint64_t seed,
+    int64_t *misses_out,
+    simcache_progress_fn progress,
+    uint64_t progress_interval_ms) {
+    if (policy < 0 || policy > 2 || cache_lines == 0 || line_size == 0 ||
+        num_threads < 0 || num_numa_domains <= 0)
+        return 1;
+    Cache cache(cache_lines, line_size, policy, seed);
+    std::memset(misses_out, 0,
+                sizeof(int64_t) * (size_t)num_threads * num_numa_domains);
+    if (warmup) {
+        replay_pass(cache, num_threads, addresses, numa_domains, offsets,
+                    num_numa_domains, nullptr, progress,
+                    progress_interval_ms);
+    }
+    replay_pass(cache, num_threads, addresses, numa_domains, offsets,
+                num_numa_domains, misses_out, progress,
+                progress_interval_ms);
+    return 0;
+}
+
 int simcache_replay_interleaved(
     int policy,
     uint64_t cache_lines,
@@ -195,19 +252,10 @@ int simcache_replay_interleaved(
     int warmup,
     uint64_t seed,
     int64_t *misses_out) {
-    if (policy < 0 || policy > 2 || cache_lines == 0 || line_size == 0 ||
-        num_threads < 0 || num_numa_domains <= 0)
-        return 1;
-    Cache cache(cache_lines, line_size, policy, seed);
-    std::memset(misses_out, 0,
-                sizeof(int64_t) * (size_t)num_threads * num_numa_domains);
-    if (warmup) {
-        replay_pass(cache, num_threads, addresses, numa_domains, offsets,
-                    num_numa_domains, nullptr);
-    }
-    replay_pass(cache, num_threads, addresses, numa_domains, offsets,
-                num_numa_domains, misses_out);
-    return 0;
+    return simcache_replay_interleaved_progress(
+        policy, cache_lines, line_size, num_threads, addresses,
+        numa_domains, offsets, num_numa_domains, warmup, seed,
+        misses_out, nullptr, 0);
 }
 
 // Single-string replay convenience (replacement.cpp:18-32).

@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--list-devices", action="store_true",
                    help="list attached JAX devices and built-in machine "
                         "models (the analogue of --list-perf-events)")
+    p.add_argument("--progress-interval", type=float, metavar="SECONDS",
+                   default=5.0,
+                   help="print simulation replay progress to stderr at "
+                        "most once per interval when verbose "
+                        "(0 disables; reference: SIGALRM progress)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -163,7 +168,9 @@ def _simulate(args, out) -> None:
     kernel = _make_kernel(args)
     kernel.init(verbose=args.verbose)
     trace = trace_cache_misses(
-        config, kernel, warmup=args.warmup, verbose=args.verbose
+        config, kernel, warmup=args.warmup, verbose=args.verbose,
+        progress_interval=(args.progress_interval
+                           if args.verbose else 0.0),
     )
     dump_json(trace.to_json(), out)
 

@@ -153,6 +153,8 @@ def trace_cache_misses_interleaved(
     strings: Sequence[Tuple[np.ndarray, np.ndarray]],
     num_numa_domains: int,
     use_native: bool = True,
+    progress=None,
+    progress_interval: float = 0.0,
 ) -> np.ndarray:
     """Round-robin interleaved replay of P strings
     (replacement.cpp:41-95): step t issues ws[p][t] for each live p in
@@ -160,6 +162,11 @@ def trace_cache_misses_interleaved(
 
     Dispatches to the C++ core when available and the algorithm carries
     no pre-existing state; falls back to pure Python.
+
+    ``progress(refs_done, refs_total, is_warmup)`` is invoked at most
+    once per ``progress_interval`` seconds — the timer-thread analogue
+    of the reference's SIGALRM progress printing
+    (replacement.cpp:34-39,65-93).
     """
     P = len(strings)
     if use_native and getattr(alg, "policy_id", -1) >= 0:
@@ -173,18 +180,32 @@ def trace_cache_misses_interleaved(
                 strings,
                 num_numa_domains,
                 seed=getattr(alg, "_state", 1),
+                progress=progress,
+                progress_interval=progress_interval,
             )
+
+    import time
 
     misses = np.zeros((P, num_numa_domains), dtype=np.int64)
     lens = [a.size for a, _ in strings]
     t_max = max(lens, default=0)
+    total = sum(lens)
     addr_lists = [a.tolist() for a, _ in strings]
     numa_lists = [d.tolist() for _, d in strings]
+    done = 0
+    last = time.monotonic()
+    report = progress is not None and progress_interval > 0
     for t in range(t_max):
         for p in range(P):
             if t < lens[p]:
                 d = numa_lists[p][t]
                 misses[p, d] += alg.allocate(addr_lists[p][t], d)
+                done += 1
+        if report and t % 4096 == 0 and t:
+            now = time.monotonic()
+            if now - last >= progress_interval:
+                last = now
+                progress(done, total, False)
     return misses
 
 

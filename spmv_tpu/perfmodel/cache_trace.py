@@ -56,8 +56,14 @@ def trace_cache_misses(
     warmup: bool = False,
     verbose: bool = False,
     use_native: bool = True,
+    progress_interval: float = 0.0,
 ) -> CacheTrace:
-    """Simulate every cache in the config (cache-trace.cpp:163-187)."""
+    """Simulate every cache in the config (cache-trace.cpp:163-187).
+
+    ``progress_interval`` > 0 prints replay progress to stderr at most
+    once per that many seconds (the reference's SIGALRM progress,
+    replacement.cpp:65-93).
+    """
     num_threads = trace_config.num_threads
     num_domains = trace_config.num_numa_domains
 
@@ -90,9 +96,21 @@ def trace_cache_misses(
                 file=sys.stderr,
             )
 
+        progress = None
+        if progress_interval > 0:
+            def progress(done, total, is_warmup, _name=name):
+                pct = 100.0 * done / total if total else 100.0
+                phase = "warmup " if is_warmup else ""
+                print(
+                    f"Cache {_name}: {phase}replayed {done} of {total} "
+                    f"memory references ({pct:.1f}%)",
+                    file=sys.stderr,
+                )
+
         misses = _replay(
             cache.num_lines, cache.line_size, strings, num_domains,
             warmup=warmup, use_native=use_native,
+            progress=progress, progress_interval=progress_interval,
         )
 
         full = np.zeros((num_threads, num_domains), dtype=np.int64)
@@ -108,7 +126,8 @@ def trace_cache_misses(
     )
 
 
-def _replay(num_lines, line_size, strings, num_domains, warmup, use_native):
+def _replay(num_lines, line_size, strings, num_domains, warmup, use_native,
+            progress=None, progress_interval=0.0):
     if use_native:
         from spmv_tpu.perfmodel import native
 
@@ -116,12 +135,17 @@ def _replay(num_lines, line_size, strings, num_domains, warmup, use_native):
             return native.replay_interleaved(
                 0, num_lines, line_size, strings, num_domains,
                 warmup=warmup,
+                progress=progress, progress_interval=progress_interval,
             )
     alg = LRU(num_lines, line_size)
     if warmup:
+        wp = ((lambda d, t, _w: progress(d, t, True))
+              if progress else None)
         trace_cache_misses_interleaved(
-            alg, strings, num_domains, use_native=False
+            alg, strings, num_domains, use_native=False,
+            progress=wp, progress_interval=progress_interval,
         )
     return trace_cache_misses_interleaved(
-        alg, strings, num_domains, use_native=False
+        alg, strings, num_domains, use_native=False,
+        progress=progress, progress_interval=progress_interval,
     )

@@ -24,6 +24,11 @@ _CSRC_DIR = os.path.join(
 )
 _LIB_PATH = os.path.join(_CSRC_DIR, "build", "libsimcache.so")
 
+# (refs_done, refs_total, is_warmup) — the SIGALRM-progress analogue
+_PROGRESS_FN = ctypes.CFUNCTYPE(
+    None, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int
+)
+
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -61,8 +66,8 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        lib.simcache_replay_interleaved.restype = ctypes.c_int
-        lib.simcache_replay_interleaved.argtypes = [
+        lib.simcache_replay_interleaved_progress.restype = ctypes.c_int
+        lib.simcache_replay_interleaved_progress.argtypes = [
             ctypes.c_int,      # policy
             ctypes.c_uint64,   # cache_lines
             ctypes.c_uint64,   # line_size
@@ -74,6 +79,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,      # warmup
             ctypes.c_uint64,   # seed
             ctypes.POINTER(ctypes.c_int64),    # misses_out
+            _PROGRESS_FN,      # progress callback (may be null)
+            ctypes.c_uint64,   # progress_interval_ms
         ]
         _lib = lib
         return _lib
@@ -91,6 +98,8 @@ def replay_interleaved(
     num_numa_domains: int,
     warmup: bool = False,
     seed: int = 1,
+    progress=None,
+    progress_interval: float = 0.0,
 ) -> np.ndarray:
     """Run the interleaved replay in C++; returns (P, domains) int64."""
     lib = _load()
@@ -109,7 +118,12 @@ def replay_interleaved(
         numas[lo:hi] = d
 
     misses = np.zeros(P * num_numa_domains, dtype=np.int64)
-    rc = lib.simcache_replay_interleaved(
+    cb = _PROGRESS_FN()
+    if progress is not None and progress_interval > 0:
+        def _cb(done, total, is_warmup):
+            progress(int(done), int(total), bool(is_warmup))
+        cb = _PROGRESS_FN(_cb)
+    rc = lib.simcache_replay_interleaved_progress(
         int(policy),
         int(cache_lines),
         int(line_size),
@@ -121,6 +135,8 @@ def replay_interleaved(
         1 if warmup else 0,
         int(seed) & 0xFFFFFFFFFFFFFFFF,
         misses.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cb,
+        int(progress_interval * 1000),
     )
     if rc != 0:
         raise RuntimeError(f"simcache_replay_interleaved failed: rc={rc}")

@@ -32,7 +32,9 @@ __all__ = ["SpmvScalingModel", "spmv_scaling_model"]
 # Fraction of spec HBM bandwidth the measured kernels reach
 # (experiments/tpu_probe9_membw.py: ~650 of 819 GB/s).
 MEASURED_HBM_EFFICIENCY = 0.80
-# ICI efficiency for small nearest-neighbor messages.
+# ICI efficiency for small nearest-neighbor messages.  UNMEASURED: no
+# multi-chip hardware is reachable in this environment, so this is an
+# assumption, not data — reports carry it as "ici_efficiency_assumed".
 ICI_EFFICIENCY = 0.70
 
 
@@ -47,7 +49,13 @@ class SpmvScalingModel:
     weak_efficiency: float     # vs the 1-shard step on the same block
 
     def to_json(self) -> dict:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        # Honest provenance: HBM efficiency is measured on this chip;
+        # ICI efficiency cannot be measured here (one chip) and is an
+        # assumption baked into t_comm_s.
+        d["hbm_efficiency_measured"] = MEASURED_HBM_EFFICIENCY
+        d["ici_efficiency_assumed"] = ICI_EFFICIENCY
+        return d
 
 
 def spmv_scaling_model(

@@ -394,3 +394,30 @@ def test_spmv_scaling_model():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         spmv_scaling_model(4, 128, scheme="bogus")
+
+
+def test_replay_progress_reporting():
+    # SIGALRM-progress analogue (replacement.cpp:65-93): both the
+    # native and Python replay paths invoke the callback with
+    # monotonically growing counts and the correct total.
+    import numpy as np
+    from spmv_tpu.perfmodel.cache_sim import (
+        LRU, trace_cache_misses_interleaved,
+    )
+
+    rng = np.random.default_rng(0)
+    addrs = (rng.integers(0, 512, 400_000) * 64).astype(np.uint64)
+    doms = np.zeros(addrs.size, dtype=np.int32)
+    for use_native in (True, False):
+        calls = []
+        alg = LRU(64, 64)
+        trace_cache_misses_interleaved(
+            alg, [(addrs, doms)], 1, use_native=use_native,
+            progress=lambda d, t, w: calls.append((d, t)),
+            progress_interval=1e-4,
+        )
+        if calls:  # timing-dependent; only check shape when it fired
+            done, total = zip(*calls)
+            assert total[0] == addrs.size
+            assert all(np.diff(done) > 0)
+            assert max(done) <= addrs.size
