@@ -44,6 +44,7 @@ from spmv_tpu.perfmodel.refstring import (
     ell_spmv_refstring,
     hybrid_spmv_refstring,
     triad_refstring,
+    well_spmv_refstring,
 )
 from spmv_tpu.perfmodel.trace_config import TraceConfig
 
@@ -543,16 +544,21 @@ class WellKernel(_MatrixKernel):
         lay = VirtualLayout()
         lay.allocate("value", m.value.size, VAL)
         lay.allocate("local_index", m.local_index.size, IDX)
+        lay.allocate("window_start", m.window_start.size, IDX)
         lay.allocate("x", m.num_columns, VAL)
         lay.allocate("y", m.num_rows, VAL)
+        if m.spill is not None:
+            lay.allocate("spill_row_ptr", m.spill.row_ptr.size, IDX)
+            lay.allocate(
+                "spill_column_index", m.spill.column_index.size, IDX
+            )
+            lay.allocate("spill_value", m.spill.value.size, VAL)
         return lay
 
     def memory_reference_string(self, trace_config, thread, num_threads):
-        raise KernelError(
-            "Memory reference strings are not implemented for the "
-            "'well' kernel; its traffic model is the chunk/window "
-            "accounting in describe() — use csr/ell/dia for "
-            "simulation mode"
+        return well_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
         )
 
     def run_fn(self):

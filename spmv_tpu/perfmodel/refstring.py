@@ -54,6 +54,7 @@ __all__ = [
     "coo_atomic_spmv_refstring",
     "hybrid_spmv_refstring",
     "dia_spmv_refstring",
+    "well_spmv_refstring",
 ]
 
 RefString = Tuple[np.ndarray, np.ndarray]
@@ -421,3 +422,95 @@ def dia_spmv_refstring(
 
     flat = grid_mask.reshape(-1)
     return grid_addr.reshape(-1)[flat], grid_numa.reshape(-1)[flat]
+
+
+def well_spmv_refstring(
+    m,  # WellMatrix
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Reference string for the WELL kernel (TPU-native format; string
+    layout modeled after the ELL generator, ell-matrix.cpp:102-143).
+
+    Requires 'value' (chunks*8*128 f64), 'local_index' (same, int32),
+    'window_start' (chunks*8 int32), 'x', 'y', and — when the matrix
+    has a CSR spill — 'spill_row_ptr', 'spill_column_index',
+    'spill_value'.
+
+    The kernel's DMA sequence is deterministic per chunk: read the 8
+    per-slot window starts, then slot-major over the (8, 128) tile read
+    local_index / value and shuffle-gather x[ws[s]*128 + loc], then
+    accumulate the 128 output lanes of the chunk's group.  Every slot
+    lane is referenced (padding included) exactly as the vectorized
+    kernel processes it — the same convention as ELL without
+    skip_padding.  The CSR spill's string is appended, as the hybrid
+    kernel appends its COO part (hybrid-matrix.cpp:231-249).
+
+    Work is partitioned by equal chunk blocks (chunks are sorted by
+    group, so this is the row-block partition in chunk units); the
+    spill part uses the CSR generator's equal row blocks.
+    """
+    val_a = layout["value"]
+    loc_a = layout["local_index"]
+    ws_a = layout["window_start"]
+    x_a = layout["x"]
+    y_a = layout["y"]
+
+    S, R = 8, 128  # slots per chunk, lanes per group
+    lo_c, hi_c = _equal_block(m.num_chunks, num_threads, thread)
+    chunks = hi_c - lo_c
+
+    # Per chunk: 8 window starts + 3*1024 slot refs + 128 y refs.
+    per_chunk = S + 3 * S * R + R
+    addrs = np.empty(chunks * per_chunk, dtype=np.uint64)
+    numas = np.full(addrs.size, numa_domains[thread], dtype=np.int32)
+
+    if chunks:
+        c = np.arange(lo_c, hi_c, dtype=np.int64)
+        grid_a = addrs.reshape(chunks, per_chunk)
+        grid_n = numas.reshape(chunks, per_chunk)
+
+        # window_start[c, s]
+        ws_idx = c[:, None] * S + np.arange(S, dtype=np.int64)
+        grid_a[:, :S] = ws_a.addresses(ws_idx)
+
+        # slot-major (s outer, r inner): local_index, value, x
+        flat = (
+            c[:, None] * (S * R)
+            + np.arange(S * R, dtype=np.int64)[None, :]
+        )                                             # (chunks, 1024)
+        body = grid_a[:, S:S + 3 * S * R].reshape(chunks, S * R, 3)
+        body[:, :, 0] = loc_a.addresses(flat)
+        body[:, :, 1] = val_a.addresses(flat)
+        ws = np.asarray(m.window_start, dtype=np.int64)[lo_c:hi_c]
+        loc = np.asarray(m.local_index, dtype=np.int64)[lo_c:hi_c]
+        xcol = (ws[:, :, None] * R + loc).reshape(chunks, S * R)
+        xcol = np.clip(xcol, 0, max(m.num_columns - 1, 0))
+        body[:, :, 2] = x_a.addresses(xcol)
+        grid_n[:, S:S + 3 * S * R].reshape(chunks, S * R, 3)[:, :, 2] = (
+            numa_domains[
+                thread_of_index(x_a, xcol, num_threads, page_size)
+            ]
+        )
+
+        # y[group*128 + r]
+        grp = np.asarray(m.group_of_chunk, dtype=np.int64)[lo_c:hi_c]
+        y_idx = grp[:, None] * R + np.arange(R, dtype=np.int64)
+        y_idx = np.clip(y_idx, 0, max(m.num_rows - 1, 0))
+        grid_a[:, -R:] = y_a.addresses(y_idx)
+
+    if m.spill is not None:
+        sp_layout = _AliasLayout(layout, {
+            "row_ptr": "spill_row_ptr",
+            "column_index": "spill_column_index",
+            "value": "spill_value",
+        })
+        a1, n1 = csr_spmv_refstring(
+            m.spill, sp_layout, thread, num_threads, numa_domains,
+            page_size,
+        )
+        return np.concatenate([addrs, a1]), np.concatenate([numas, n1])
+    return addrs, numas

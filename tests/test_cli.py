@@ -59,7 +59,7 @@ def _run(argv):
     return rc, out.getvalue()
 
 
-@pytest.mark.parametrize("fmt", ["csr", "coo", "ell", "hybrid", "dia"])
+@pytest.mark.parametrize("fmt", ["csr", "coo", "ell", "hybrid", "dia", "well"])
 def test_simulate_mode(matrix_file, config_file, fmt):
     rc, text = _run(
         ["--matrix", matrix_file, "--trace-config", config_file,

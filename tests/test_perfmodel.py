@@ -223,17 +223,23 @@ def test_csr_refstring_two_threads_split():
 
 
 @pytest.mark.parametrize(
-    "name", ["csr", "ell", "coo", "coo-atomic", "hybrid"]
+    "name", ["csr", "ell", "coo", "coo-atomic", "hybrid", "dia", "well"]
 )
 def test_kernel_refstrings_replayable(name):
     mm = poisson2d(8, 8)
     k = make_kernel(name, mm=mm)
     k.init()
     cfg = parse_trace_config(EXAMPLE_CONFIG)
+    total = 0
     for t in range(2):
         addrs, numas = k.memory_reference_string(cfg, t, 2)
-        assert addrs.size == numas.size > 0
-        assert numas.min() >= 0 and numas.max() < 2
+        assert addrs.size == numas.size
+        total += addrs.size
+        if numas.size:
+            assert numas.min() >= 0 and numas.max() < 2
+    # a thread may own zero work units (e.g. well with one chunk),
+    # but the kernel as a whole always issues references
+    assert total > 0
 
 
 def test_triad_kernel_refstring():
@@ -421,3 +427,73 @@ def test_replay_progress_reporting():
             assert total[0] == addrs.size
             assert all(np.diff(done) > 0)
             assert max(done) <= addrs.size
+
+
+# --- WELL reference string (VERDICT r1 missing #3) -------------------------
+
+
+def test_well_refstring_exact_counts():
+    from spmv_tpu.models import WellMatrix
+    from spmv_tpu.perfmodel.refstring import well_spmv_refstring
+
+    mm = poisson2d(16, 16)  # 256 rows, fits 2 groups, no spill
+    k = make_kernel("well", mm=mm)
+    k.init()
+    w = k.matrix
+    assert w.spill is None
+    cfg = parse_trace_config(EXAMPLE_CONFIG)
+    nd = np.asarray(cfg.numa_domains_of_threads())
+    a, n = well_spmv_refstring(w, k.layout, 0, 1, nd)
+    # per chunk: 8 window starts + 3*8*128 slot refs + 128 y refs
+    assert a.size == w.num_chunks * (8 + 3 * 8 * 128 + 128)
+    assert a.size == n.size
+
+    # two threads: equal chunk blocks, sizes sum to the single string
+    a0, _ = well_spmv_refstring(w, k.layout, 0, 2, nd)
+    a1, _ = well_spmv_refstring(w, k.layout, 1, 2, nd)
+    assert a0.size + a1.size == a.size
+
+
+def test_well_refstring_spill_appends_csr_string():
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.perfmodel.refstring import well_spmv_refstring
+
+    mm = random_sparse(300, 300, 6, seed=4)
+    k = make_kernel("well", mm=mm)
+    k.matrix = None
+    # force a tiny window so entries spill
+    from spmv_tpu.models import WellMatrix
+    w = WellMatrix.from_matrix_market(mm, window_rows=1)
+    assert w.spill is not None and w.spill.num_entries > 0
+    k._premade = w
+    k.init()
+    cfg = parse_trace_config(EXAMPLE_CONFIG)
+    nd = np.asarray(cfg.numa_domains_of_threads())
+    a, n = well_spmv_refstring(w, k.layout, 0, 1, nd)
+    sp = w.spill
+    expected = (
+        w.num_chunks * (8 + 3 * 8 * 128 + 128)
+        + 3 * sp.num_entries + 2 * sp.num_rows + 1
+    )
+    assert a.size == expected
+
+
+def test_well_simulation_mode_end_to_end():
+    # `-s well` must now work in simulation mode (cold-cache miss
+    # count for a huge cache == number of distinct lines touched).
+    from spmv_tpu.perfmodel.cache_sim import LRU
+    from spmv_tpu.perfmodel.cache_trace import trace_cache_misses
+
+    mm = poisson2d(12, 12)
+    k = make_kernel("well", mm=mm)
+    k.init()
+    cfg = parse_trace_config(EXAMPLE_CONFIG)
+    trace = trace_cache_misses(cfg, k)
+    for name, m in trace.cache_misses.items():
+        assert m.sum() > 0
+
+    nd = np.asarray(cfg.numa_domains_of_threads())
+    a, n = k.memory_reference_string(cfg, 0, 1)
+    huge = LRU(1 << 24, 64)
+    misses = sum(huge.allocate(int(x)) for x in a)
+    assert misses == np.unique(a // 64).size
