@@ -27,6 +27,12 @@ from spmv_tpu.parallel.shard import (
     make_sharded_matvec,
 )
 from spmv_tpu.parallel.halo import communication_volume, HaloPlan, build_halo_plan
+from spmv_tpu.parallel.halo_shard import (
+    ShardedCsrHalo,
+    shard_csr_halo,
+    sharded_halo_spmv,
+    make_sharded_halo_matvec,
+)
 from spmv_tpu.parallel.distributed import (
     initialize_distributed,
     is_multi_host,
@@ -38,6 +44,10 @@ from spmv_tpu.parallel.well_shard import (
     shard_well,
     sharded_well_spmv,
     make_sharded_well_matvec,
+    ShardedWellHalo,
+    shard_well_halo,
+    sharded_well_halo_spmv,
+    make_sharded_well_halo_matvec,
 )
 from spmv_tpu.parallel.dia_shard import (
     ShardedDia,
@@ -60,6 +70,10 @@ __all__ = [
     "communication_volume",
     "HaloPlan",
     "build_halo_plan",
+    "ShardedCsrHalo",
+    "shard_csr_halo",
+    "sharded_halo_spmv",
+    "make_sharded_halo_matvec",
     "ShardedDia",
     "shard_dia",
     "sharded_dia_spmv",
@@ -74,4 +88,8 @@ __all__ = [
     "shard_well",
     "sharded_well_spmv",
     "make_sharded_well_matvec",
+    "ShardedWellHalo",
+    "shard_well_halo",
+    "sharded_well_halo_spmv",
+    "make_sharded_well_halo_matvec",
 ]

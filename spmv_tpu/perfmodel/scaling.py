@@ -70,8 +70,10 @@ def spmv_scaling_model(
 ) -> SpmvScalingModel:
     """Model one sharded SpMV step.
 
-    scheme: "dia-halo" (ppermute halo strips) or "all-gather"
-    (stacked x gathered from every shard, the CSR/WELL path).
+    scheme: "dia-halo" (ppermute halo strips), "ragged-halo" (the
+    halo-exchange CSR/WELL path, parallel.halo_shard — pass the padded
+    per-shard exchanged element count as ``halo``), or "all-gather"
+    (stacked x gathered from every shard, the fallback CSR/WELL path).
     """
     machine = machine or TPU_V5E
     hbm = machine.hbm_gbps * 1e9 * MEASURED_HBM_EFFICIENCY
@@ -83,6 +85,8 @@ def spmv_scaling_model(
 
     if scheme == "dia-halo":
         comm_bytes = 2 * halo * value_bytes if num_shards > 1 else 0
+    elif scheme == "ragged-halo":
+        comm_bytes = halo * value_bytes if num_shards > 1 else 0
     elif scheme == "all-gather":
         comm_bytes = (
             (num_shards - 1) * rows_per_shard * value_bytes
@@ -92,7 +96,7 @@ def spmv_scaling_model(
         raise ValueError(f"unknown scheme {scheme!r}")
     t_comm = comm_bytes / ici
 
-    if overlap and scheme == "dia-halo":
+    if overlap and scheme in ("dia-halo", "ragged-halo"):
         t_step = max(t_local, t_comm)
     else:
         t_step = t_local + t_comm
