@@ -6,10 +6,16 @@ from spmv_tpu.profile.harness import (
     KernelTiming,
 )
 from spmv_tpu.profile.report import profiling_report
+from spmv_tpu.profile.xplane import (
+    summarize_xplane,
+    profiling_events_section,
+)
 
 __all__ = [
     "time_kernel",
     "profile_kernel_fn",
     "KernelTiming",
     "profiling_report",
+    "summarize_xplane",
+    "profiling_events_section",
 ]

