@@ -37,6 +37,7 @@ from spmv_tpu.parallel.distributed import (
     initialize_distributed,
     is_multi_host,
     global_mesh,
+    global_device_put,
     host_local_info,
 )
 from spmv_tpu.parallel.well_shard import (
@@ -83,6 +84,7 @@ __all__ = [
     "initialize_distributed",
     "is_multi_host",
     "global_mesh",
+    "global_device_put",
     "host_local_info",
     "ShardedWell",
     "shard_well",

@@ -34,6 +34,7 @@ __all__ = [
     "initialize_distributed",
     "is_multi_host",
     "global_mesh",
+    "global_device_put",
     "host_local_info",
 ]
 
@@ -94,6 +95,29 @@ def is_multi_host() -> bool:
 def global_mesh(num_shards: Optional[int] = None):
     """A 1-D mesh over the global device list (all hosts)."""
     return make_mesh(num_shards=num_shards, devices=jax.devices())
+
+
+def global_device_put(arr, mesh, spec):
+    """Place a host array over a (possibly multi-process) mesh.
+
+    ``jax.device_put`` requires every target device to be addressable;
+    on a multi-host mesh each process owns only its local devices, so
+    the global array must be assembled from per-process shards.
+    ``make_array_from_callback`` materializes exactly this process's
+    addressable shards from the host data (every process passes the
+    same logical array — the tiny-metadata regime of SpMV, where hosts
+    share the matrix and the mesh partitions the work).  On a single
+    process this is equivalent to ``device_put`` with the same
+    ``NamedSharding``.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
 
 
 def host_local_info() -> dict:
