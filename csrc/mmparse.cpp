@@ -19,6 +19,7 @@
 #include <zlib.h>
 
 #include <cctype>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -202,15 +203,33 @@ bool parse_text(const char *p, const char *end, Result &r) {
         break;
     }
     {
+        // Size-line overflow discipline mirrors the reference
+        // (matrix-market.cpp:449-482): reject out-of-range values
+        // instead of silently truncating into int32 index storage.
         char *q;
+        errno = 0;
         r.rows = std::strtoll(p, &q, 10);
         r.cols = std::strtoll(q, &q, 10);
         r.nnz = std::strtoll(q, &q, 10);
+        if (errno == ERANGE) {
+            r.error = "integer overflow in size line";
+            return false;
+        }
         if (q == p || r.rows < 0 || r.cols < 0 || r.nnz < 0) {
             r.error = "invalid size line";
             return false;
         }
+        if (r.rows > INT32_MAX || r.cols > INT32_MAX) {
+            r.error = "matrix dimensions exceed the int32 index range";
+            return false;
+        }
         p = next_line(q, end);
+        // an entry line is at least "1 1\n": bail before resize()
+        // tries to allocate storage a lying size line asked for
+        if (r.nnz > (int64_t)(end - p) / 3 + 1) {
+            r.error = "size line claims more entries than the file holds";
+            return false;
+        }
     }
 
     r.row_idx.resize(r.nnz);

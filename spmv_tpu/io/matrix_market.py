@@ -32,12 +32,17 @@ import gzip
 import io
 import os
 import re
+import sys
 import tarfile
 from typing import Optional, Union
 
 import numpy as np
 
 from spmv_tpu.errors import MatrixError
+
+# files at least this large dispatch to the native C++ parser
+# (amortizes the ctypes/library fixed cost; see load_matrix)
+NATIVE_INGEST_THRESHOLD = 1 << 20
 
 __all__ = ["MatrixMarket", "parse_matrix_market", "load_matrix"]
 
@@ -345,32 +350,65 @@ def load_matrix(
             if m.group("parts"):
                 num_parts = int(m.group("parts"))
 
-    if path.endswith((".tar.gz", ".tgz")):
-        stem = os.path.basename(path)
-        for ext in (".tar.gz", ".tgz"):
-            if stem.endswith(ext):
-                stem = stem[: -len(ext)]
-        member = f"{stem}/{stem}.mtx"
-        with tarfile.open(path, "r:gz") as tf:
-            try:
-                fobj = tf.extractfile(member)
-            except KeyError:
-                fobj = None
-            if fobj is None:
-                # Fall back to the first .mtx member.
-                names = [n for n in tf.getnames() if n.endswith(".mtx")]
-                if not names:
-                    raise MatrixError(f"no .mtx member in {path}")
-                fobj = tf.extractfile(names[0])
-            text = fobj.read()
-    elif path.endswith(".gz"):
-        with gzip.open(path, "rb") as f:
-            text = f.read()
-    else:
-        with open(path, "rb") as f:
-            text = f.read()
+    mm = None
+    # Large files go through the native C++ parser (zlib + ustar +
+    # strtod fast path, csrc/mmparse.cpp) when it is available; control
+    # with SPMV_TPU_NATIVE_INGEST = auto (default) | always | never.
+    # Any native failure falls back to the Python parser.
+    mode = os.environ.get("SPMV_TPU_NATIVE_INGEST", "auto")
+    if mode != "never":
+        threshold = 0 if mode == "always" else NATIVE_INGEST_THRESHOLD
+        try:
+            big = os.path.getsize(path) >= threshold
+        except OSError:
+            big = False
+        if big:
+            from spmv_tpu.io import native as _native
 
-    mm = parse_matrix_market(text, expand_symmetry=expand_symmetry)
+            if _native.available():
+                try:
+                    mm = _native.load_matrix_native(
+                        path, expand_symmetry=expand_symmetry
+                    )
+                    if verbose:
+                        print(
+                            f"parsed {path} with the native parser",
+                            file=sys.stderr,
+                        )
+                except MatrixError:
+                    if mode == "always":
+                        raise
+                    mm = None
+
+    if mm is None:
+        if path.endswith((".tar.gz", ".tgz")):
+            stem = os.path.basename(path)
+            for ext in (".tar.gz", ".tgz"):
+                if stem.endswith(ext):
+                    stem = stem[: -len(ext)]
+            member = f"{stem}/{stem}.mtx"
+            with tarfile.open(path, "r:gz") as tf:
+                try:
+                    fobj = tf.extractfile(member)
+                except KeyError:
+                    fobj = None
+                if fobj is None:
+                    # Fall back to the first .mtx member.
+                    names = [
+                        n for n in tf.getnames() if n.endswith(".mtx")
+                    ]
+                    if not names:
+                        raise MatrixError(f"no .mtx member in {path}")
+                    fobj = tf.extractfile(names[0])
+                text = fobj.read()
+        elif path.endswith(".gz"):
+            with gzip.open(path, "rb") as f:
+                text = f.read()
+        else:
+            with open(path, "rb") as f:
+                text = f.read()
+
+        mm = parse_matrix_market(text, expand_symmetry=expand_symmetry)
 
     if reorder is not None:
         from spmv_tpu.models.reorder import (

@@ -4,9 +4,12 @@ import gzip
 import io
 import tarfile
 
+import json
+
 import numpy as np
 import pytest
 
+from spmv_tpu.errors import MatrixError
 from spmv_tpu.io import parse_matrix_market
 from spmv_tpu.io import native
 
@@ -76,3 +79,84 @@ def test_native_reference_poisson2d(reference_poisson2d, tmp_path):
 
     y = CsrMatrix.from_matrix_market(mm).spmv(b)
     assert np.linalg.norm(y - expected) < 1e-12
+
+
+# --- load_matrix dispatch + overflow guards (VERDICT r1 missing #5/#6) -----
+
+
+def test_load_matrix_dispatches_to_native(tmp_path, monkeypatch):
+    from spmv_tpu.io import load_matrix, parse_matrix_market
+    from spmv_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    text = (
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 3\n1 1 1.5\n2 2 2.5\n3 1 -1.0\n"
+    )
+    p = tmp_path / "m.mtx"
+    p.write_text(text)
+    monkeypatch.setenv("SPMV_TPU_NATIVE_INGEST", "always")
+    mm = load_matrix(str(p))
+    ref = parse_matrix_market(text)
+    np.testing.assert_array_equal(mm.rows_1based, ref.rows_1based)
+    np.testing.assert_array_equal(mm.cols_1based, ref.cols_1based)
+    np.testing.assert_array_equal(mm.values, ref.values)
+
+    # 'never' forces the Python parser on the same file
+    monkeypatch.setenv("SPMV_TPU_NATIVE_INGEST", "never")
+    mm2 = load_matrix(str(p))
+    np.testing.assert_array_equal(mm2.values, ref.values)
+
+
+def test_native_rejects_oversized_dimensions(tmp_path):
+    from spmv_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    # rows > INT32_MAX must be a typed error, not silent truncation
+    # (reference discipline: matrix-market.cpp:449-482)
+    p = tmp_path / "big.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "4294967296 10 1\n1 1 1.0\n"
+    )
+    with pytest.raises(MatrixError, match="int32|overflow"):
+        native.load_matrix_native(str(p))
+
+
+def test_native_rejects_lying_nnz(tmp_path):
+    from spmv_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    p = tmp_path / "liar.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "10 10 99999999999\n1 1 1.0\n"
+    )
+    with pytest.raises(MatrixError, match="entries|holds"):
+        native.load_matrix_native(str(p))
+
+
+def test_cli_profile_with_native_ingest(tmp_path, monkeypatch):
+    # the CLI path also reaches the native parser when forced
+    import io as _io
+
+    from spmv_tpu.cli import main
+    from spmv_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    p = tmp_path / "m.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "4 4 6\n1 1 4.0\n2 1 -1.0\n2 2 4.0\n3 2 -1.0\n3 3 4.0\n4 4 1.0\n"
+    )
+    monkeypatch.setenv("SPMV_TPU_NATIVE_INGEST", "always")
+    out = _io.StringIO()
+    rc = main(["--matrix", str(p), "-s", "csr", "--profile", "1"],
+              out=out)
+    assert rc == 0
+    doc = json.loads(out.getvalue())
+    assert doc["kernel"]["nonzeros"] == 6
