@@ -22,7 +22,10 @@ import json
 import sys
 import time
 
-TILE_ROWS = 512
+# In-place (aliased x/y, probe 24/25) prefers 256-row tiles for SpMV;
+# SpMM prefers 512 (bigger DMAs against its fatter window).
+TILE_ROWS = 256
+SPMM_TILE_ROWS = 512
 BASELINE_FRACTION = 0.80
 # fp32 |y| checksum over ~84M entries vs the fp64 host reference
 CHECKSUM_RTOL = 1e-4
@@ -111,10 +114,11 @@ def _run() -> None:
 
     k = 4
     X = rng.standard_normal((n, k)).astype(np.float32)
-    x3d = dia_prepare_X(A, jnp.asarray(X), 256)
+    x3d = dia_prepare_X(A, jnp.asarray(X), SPMM_TILE_ROWS)
 
     def spmm_step(x3d, A):
-        return dia_spmm_core(A, x3d, tile_rows=256, interpret=interpret)
+        return dia_spmm_core(A, x3d, tile_rows=SPMM_TILE_ROWS,
+                             interpret=interpret)
 
     t_spmm = time_kernel(
         spmm_step, (x3d, A), k_small=4, k_large=16, runs=6

@@ -137,7 +137,61 @@ def make_plan(A: DeviceDia, tile_rows: int = 256,
     )
 
 
-def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype):
+def _dia_window_schedule(j, active, fb, nb, window_dma, in_place):
+    """Issue/wait the sliding-window DMAs for grid step ``j``.
+
+    Out-of-place (2 slots): start in(j+1), wait in(j) — the classic
+    double buffer.
+
+    In-place (3 slots, for ``input_output_aliases``): the pipeline's
+    out-DMA for y block j is issued right after this body, and y block
+    j overlaps the x rows of windows j-1..j+1 (guarded: smin_row >=
+    -tile_rows).  Waiting in(j+1) *before* the body ends guarantees
+    every window that reads those rows has fully landed in VMEM before
+    the write starts; in(j+2) is prefetched to keep the read stream
+    two steps ahead of the write stream (probe 24: same-buffer r+w
+    sustains ~640 GB/s vs ~325 GB/s cross-buffer).
+
+    Returns the slot index holding window ``j``'s data.
+    """
+    if not in_place:
+        @pl.when(j == fb)
+        def _():
+            window_dma(fb % 2, fb).start()
+
+        @pl.when(jnp.logical_and(active, j + 1 < fb + nb))
+        def _():
+            window_dma((j + 1) % 2, j + 1).start()
+
+        @pl.when(active)
+        def _():
+            window_dma(j % 2, j).wait()
+
+        return j % 2
+
+    @pl.when(j == fb)
+    def _():
+        window_dma(fb % 3, fb).start()
+        if nb > 1:
+            window_dma((fb + 1) % 3, fb + 1).start()
+
+    @pl.when(jnp.logical_and(active, j + 2 < fb + nb))
+    def _():
+        window_dma((j + 2) % 3, j + 2).start()
+
+    @pl.when(j == fb)
+    def _():
+        window_dma(fb % 3, fb).wait()
+
+    @pl.when(jnp.logical_and(active, j + 1 < fb + nb))
+    def _():
+        window_dma((j + 1) % 3, j + 1).wait()
+
+    return j % 3
+
+
+def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype,
+                in_place=False):
     w = plan.tile_rows
     fb, nb, wr = plan.front_blocks, plan.num_tiles, plan.window_rows
     j = pl.program_id(0)
@@ -151,18 +205,10 @@ def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype):
             sems.at[slot],
         )
 
-    @pl.when(j == fb)
-    def _():
-        window_dma(fb % 2, fb).start()
-
-    @pl.when(jnp.logical_and(active, j + 1 < fb + nb))
-    def _():
-        window_dma((j + 1) % 2, j + 1).start()
+    slot = _dia_window_schedule(j, active, fb, nb, window_dma, in_place)
 
     @pl.when(active)
     def _():
-        window_dma(j % 2, j).wait()
-        slot = j % 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (w, LANE), 1)
         # Sub-fp32 storage (bf16 halves the dominant diagonal stream)
         # is cast up after the VMEM load: pltpu.roll only rotates
@@ -191,16 +237,32 @@ def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype):
         y_ref[:] = jnp.zeros((w, LANE), dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def _dia_in_place_ok(plan: DiaPlan) -> bool:
+    """In-place (aliased x/y buffer) is safe iff no window reads more
+    than one tile behind its y block: window j+2 then starts at or
+    after y block j+1's first row, so the depth-2 prefetch schedule
+    never reads a row after it has been overwritten."""
+    return plan.smin_row >= -plan.tile_rows
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_rows", "interpret", "in_place"))
 def dia_spmv_core(
     A: DeviceDia, x2d: jax.Array, tile_rows: int = 256,
-    interpret: bool = False,
+    interpret: bool = False, in_place: bool | None = None,
 ) -> jax.Array:
     """y2d = A @ x in the padded layout (same layout in and out).
 
     ``x2d`` must come from :func:`dia_prepare_x` (or be a previous
     ``dia_spmv_core`` output for square matrices) — chaining this is
     the zero-copy iteration path for CG and the profiling harness.
+
+    ``in_place`` (default: auto) writes y into the donated ``x2d``
+    buffer via ``input_output_aliases``: this chip moves mixed
+    read+write traffic within one HBM buffer ~2x faster than across
+    two (probe 24), so chained callers should leave it on.  ``x2d``
+    must not be reused after the call (XLA inserts a defensive copy if
+    it is live, losing the benefit but not correctness).
     """
     plan = make_plan(A, tile_rows)
     w = plan.tile_rows
@@ -214,11 +276,24 @@ def dia_spmv_core(
             f"x2d has shape {x2d.shape}, expected "
             f"{(plan.total_rows, LANE)} — use dia_prepare_x"
         )
+    itemsize = jnp.dtype(data.dtype).itemsize
+    fits3 = 3 * plan.window_rows * LANE * itemsize <= 12 * 1024 * 1024
+    if in_place is None:
+        in_place = _dia_in_place_ok(plan) and fits3
+    elif in_place and not (_dia_in_place_ok(plan) and fits3):
+        raise MatrixError(
+            f"in_place DIA needs smin_row >= -tile_rows "
+            f"({plan.smin_row} < {-plan.tile_rows}) and three windows "
+            "within the VMEM budget; raise tile_rows or use "
+            "in_place=False"
+        )
 
     kernel = functools.partial(
-        _dia_kernel, offsets=A.offsets, plan=plan, dtype=data.dtype
+        _dia_kernel, offsets=A.offsets, plan=plan, dtype=data.dtype,
+        in_place=in_place,
     )
     fb, nb = plan.front_blocks, plan.num_tiles
+    n_slots = 3 if in_place else 2
     return pl.pallas_call(
         kernel,
         grid=(plan.grid,),
@@ -235,9 +310,10 @@ def dia_spmv_core(
         ),
         out_shape=jax.ShapeDtypeStruct((plan.total_rows, LANE), data.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, plan.window_rows, LANE), data.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, plan.window_rows, LANE), data.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
+        input_output_aliases={0: 0} if in_place else {},
         interpret=interpret,
     )(x2d.astype(data.dtype), data)
 
@@ -572,7 +648,7 @@ def well_spmv(
 
 
 def _dia_spmm_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan,
-                     nvec, dtype):
+                     nvec, dtype, in_place=False):
     w = plan.tile_rows
     fb, nb, wr = plan.front_blocks, plan.num_tiles, plan.window_rows
     j = pl.program_id(0)
@@ -589,18 +665,10 @@ def _dia_spmm_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan,
             sems.at[slot],
         )
 
-    @pl.when(j == fb)
-    def _():
-        window_dma(fb % 2, fb).start()
-
-    @pl.when(jnp.logical_and(active, j + 1 < fb + nb))
-    def _():
-        window_dma((j + 1) % 2, j + 1).start()
+    slot = _dia_window_schedule(j, active, fb, nb, window_dma, in_place)
 
     @pl.when(active)
     def _():
-        window_dma(j % 2, j).wait()
-        slot = j % 2
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (w, nvec, LANE), 2
         )
@@ -631,14 +699,22 @@ def _dia_spmm_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan,
         y_ref[:] = jnp.zeros((w, nvec, LANE), dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_rows", "interpret", "in_place"))
 def dia_spmm_core(
     A: DeviceDia, x3d: jax.Array, tile_rows: int = 256,
-    interpret: bool = False,
+    interpret: bool = False, in_place: bool | None = None,
 ) -> jax.Array:
     """Y = A @ X in the padded layout: x3d (total_rows, k, LANE) from
     :func:`dia_prepare_X`; output in the same layout (chainable for
-    square matrices, like dia_spmv_core)."""
+    square matrices, like dia_spmv_core).
+
+    ``in_place`` (default: auto) aliases Y onto the donated x3d buffer
+    — see dia_spmv_core.  The y write stream is ~1/3 of this kernel's
+    traffic, so keeping it inside the x3d buffer avoids the ~2x
+    cross-buffer mixing penalty (probe 24) that capped large-n SpMM at
+    0.48 of roofline in round 1.
+    """
     nvec = x3d.shape[1]
     plan = make_plan(A, tile_rows, nvec=nvec)
     w = plan.tile_rows
@@ -652,12 +728,24 @@ def dia_spmm_core(
             f"x3d has shape {x3d.shape}, expected "
             f"({plan.total_rows}, k, {LANE}) — use dia_prepare_X"
         )
+    itemsize = jnp.dtype(data.dtype).itemsize
+    fits3 = (3 * plan.window_rows * nvec * LANE * itemsize
+             <= 12 * 1024 * 1024)
+    if in_place is None:
+        in_place = _dia_in_place_ok(plan) and fits3
+    elif in_place and not (_dia_in_place_ok(plan) and fits3):
+        raise MatrixError(
+            "in_place DIA SpMM needs smin_row >= -tile_rows and three "
+            "windows within the VMEM budget; raise tile_rows, reduce "
+            "k, or use in_place=False"
+        )
 
     kernel = functools.partial(
         _dia_spmm_kernel, offsets=A.offsets, plan=plan, nvec=nvec,
-        dtype=data.dtype,
+        dtype=data.dtype, in_place=in_place,
     )
     fb, nb = plan.front_blocks, plan.num_tiles
+    n_slots = 3 if in_place else 2
     return pl.pallas_call(
         kernel,
         grid=(plan.grid,),
@@ -677,9 +765,11 @@ def dia_spmm_core(
             (plan.total_rows, nvec, LANE), data.dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, plan.window_rows, nvec, LANE), data.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(
+                (n_slots, plan.window_rows, nvec, LANE), data.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
+        input_output_aliases={0: 0} if in_place else {},
         interpret=interpret,
     )(x3d.astype(data.dtype), data)
 

@@ -133,3 +133,72 @@ def test_pallas_spmm_interpret_matches_host():
                      for j in range(3)], axis=1)
     assert Y.shape == (mm.num_rows, 3)
     np.testing.assert_allclose(Y, want, rtol=1e-4, atol=1e-4)
+
+
+def test_in_place_chained_matches_out_of_place():
+    # In-place (aliased x/y buffer, probe 24) must be bit-identical to
+    # the classic double-buffered path, including across chained
+    # iterations where the alias reuses the previous output buffer.
+    # Offsets reach close to the guard boundary (smin_row = -w).
+    n = 2100
+    w = 8
+    dia, dense = _banded(n, n, [-(w * 128 - 5), -130, -1, 0, 3, 128],
+                         seed=9)
+    from spmv_tpu.ops.pallas_kernels import (
+        dia_spmv_core, dia_prepare_x, dia_extract_y, make_plan,
+        _dia_in_place_ok,
+    )
+    A = DeviceDia.from_host(dia, dtype=jnp.float32)
+    plan = make_plan(A, w)
+    assert _dia_in_place_ok(plan) and plan.smin_row < 0
+    x = np.random.default_rng(8).standard_normal(n)
+    v_ip = v_op = dia_prepare_x(A, jnp.asarray(x, jnp.float32), w)
+    for _ in range(3):
+        v_ip = dia_spmv_core(A, v_ip, w, interpret=True, in_place=True)
+        v_op = dia_spmv_core(A, v_op, w, interpret=True, in_place=False)
+    np.testing.assert_array_equal(np.asarray(v_ip), np.asarray(v_op))
+    want = dense @ (dense @ (dense @ x))
+    np.testing.assert_allclose(
+        np.asarray(dia_extract_y(A, v_ip, w)), want, rtol=2e-3, atol=2e-3)
+
+
+def test_in_place_guard():
+    # smin_row < -tile_rows: auto must fall back, explicit must raise.
+    n = 3000
+    w = 8
+    dia, dense = _banded(n, n, [-(w * 128 + 200), 0, 1], seed=10)
+    from spmv_tpu.ops.pallas_kernels import (
+        dia_spmv_core, dia_prepare_x, dia_extract_y, make_plan,
+        _dia_in_place_ok,
+    )
+    A = DeviceDia.from_host(dia, dtype=jnp.float32)
+    assert not _dia_in_place_ok(make_plan(A, w))
+    x = np.random.default_rng(12).standard_normal(n)
+    x2d = dia_prepare_x(A, jnp.asarray(x, jnp.float32), w)
+    y = dia_spmv_core(A, x2d, w, interpret=True)  # auto fallback
+    np.testing.assert_allclose(
+        np.asarray(dia_extract_y(A, y, w)), dense @ x,
+        rtol=1e-4, atol=1e-4)
+    with pytest.raises(MatrixError):
+        dia_spmv_core(A, x2d, w, interpret=True, in_place=True)
+
+
+def test_in_place_spmm_chained_matches():
+    from spmv_tpu.ops.pallas_kernels import (
+        dia_spmm_core, dia_prepare_X, dia_extract_Y,
+    )
+    n = 1800
+    w = 8
+    dia, dense = _banded(n, n, [-700, -128, 0, 2, 260], seed=13)
+    A = DeviceDia.from_host(dia, dtype=jnp.float32)
+    X = np.random.default_rng(14).standard_normal((n, 3)).astype(
+        np.float32)
+    v_ip = v_op = dia_prepare_X(A, jnp.asarray(X), w)
+    for _ in range(2):
+        v_ip = dia_spmm_core(A, v_ip, w, interpret=True, in_place=True)
+        v_op = dia_spmm_core(A, v_op, w, interpret=True, in_place=False)
+    np.testing.assert_array_equal(np.asarray(v_ip), np.asarray(v_op))
+    want = dense.astype(np.float64) @ (dense.astype(np.float64) @ X)
+    np.testing.assert_allclose(
+        np.asarray(dia_extract_Y(A, v_ip, w)), want, rtol=2e-3,
+        atol=2e-3)
