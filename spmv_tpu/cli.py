@@ -33,7 +33,7 @@ __all__ = ["main", "build_parser"]
 
 SPMV_FORMATS = (
     "auto", "coo", "coo-atomic", "csr", "ell", "hybrid", "dia", "well",
-    "xla-csr"
+    "wellcw", "xla-csr"
 )
 
 

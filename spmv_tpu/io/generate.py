@@ -102,6 +102,27 @@ def random_sparse(
     return from_coo_arrays(num_rows, num_columns, rows, cols, vals)
 
 
+def banded_random(
+    num_rows: int,
+    half_bandwidth: int,
+    nnz_per_row: int,
+    seed: int = 0,
+) -> MatrixMarket:
+    """~nnz_per_row entries per row scattered uniformly inside a band.
+
+    The irregular-matrix stress case (probes 12/26-28): columns are
+    spread across the whole band instead of clustering, which defeats
+    per-slot-window packing and exercises the WELL-CW format."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(num_rows, dtype=np.int64), nnz_per_row)
+    off = rng.integers(-half_bandwidth, half_bandwidth + 1, rows.size)
+    cols = np.clip(rows + off, 0, num_rows - 1)
+    key = np.unique(rows * num_rows + cols)
+    rows, cols = key // num_rows, key % num_rows
+    vals = rng.standard_normal(rows.size)
+    return from_coo_arrays(num_rows, num_rows, rows, cols, vals)
+
+
 def banded(num_rows: int, half_bandwidth: int, seed: int = 0) -> MatrixMarket:
     """Full band of width 2*half_bandwidth+1 around the diagonal."""
     rng = np.random.default_rng(seed)

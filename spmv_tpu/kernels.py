@@ -33,6 +33,7 @@ from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.ell import EllMatrix
 from spmv_tpu.models.hybrid import HybridMatrix
 from spmv_tpu.models.well import WellMatrix
+from spmv_tpu.models.wellcw import WellCwMatrix
 from spmv_tpu.perfmodel.layout import VirtualLayout
 from spmv_tpu.perfmodel.refstring import (
     IDX,
@@ -45,6 +46,7 @@ from spmv_tpu.perfmodel.refstring import (
     hybrid_spmv_refstring,
     triad_refstring,
     well_spmv_refstring,
+    wellcw_spmv_refstring,
 )
 from spmv_tpu.perfmodel.trace_config import TraceConfig
 
@@ -59,6 +61,7 @@ KERNEL_NAMES = (
     "hybrid",
     "dia",
     "well",
+    "wellcw",
     "xla-csr",
 )
 
@@ -594,6 +597,81 @@ class WellKernel(_MatrixKernel):
         return d
 
 
+class WellCwKernel(_MatrixKernel):
+    """WELL-CW (chunk-window WELL) kernel — the TPU-native format for
+    scattered-column matrices with the Pallas stride-table gather fast
+    path (spmv_tpu.ops.pallas_kernels.wellcw_spmv); no reference
+    counterpart (see spmv_tpu/models/wellcw.py; the reference's
+    irregular-matrix answer is the hybrid split,
+    src/matrix/hybrid-matrix.cpp:329-410)."""
+
+    name = "wellcw"
+
+    def _convert(self, mm):
+        return WellCwMatrix.from_matrix_market(mm)
+
+    def _make_layout(self):
+        m = self.matrix
+        lay = VirtualLayout()
+        for i, lv in enumerate(m.levels):
+            lay.allocate(f"value{i}", lv.value.size, VAL)
+            lay.allocate(f"local_index{i}", lv.local_index.size, IDX)
+            lay.allocate(f"anchor{i}", lv.anchor4.size, IDX)
+        lay.allocate("x", m.num_columns, VAL)
+        lay.allocate("y", m.num_rows, VAL)
+        if m.remainder is not None:
+            lay.allocate("rem_row_ptr", m.remainder.row_ptr.size, IDX)
+            lay.allocate(
+                "rem_column_index", m.remainder.column_index.size, IDX
+            )
+            lay.allocate("rem_value", m.remainder.value.size, VAL)
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        return wellcw_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+    def run_fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        from spmv_tpu.models.device import (
+            DeviceWellCw,
+            default_value_dtype,
+        )
+        from spmv_tpu.ops.pallas_kernels import wellcw_spmv
+
+        A = DeviceWellCw.from_host(self.matrix)
+        on_cpu = jax.default_backend() == "cpu"
+        x = jnp.ones((self.matrix.num_columns,), default_value_dtype())
+
+        def step(v, A):
+            y = wellcw_spmv(A, v[: A.num_columns], interpret=on_cpu)
+            return _chain_output(y, v)
+
+        return step, (x, A)
+
+    def bytes_per_run(self) -> int:
+        m = self.matrix
+        b = sum(lv.value.size * (VAL + IDX) for lv in m.levels)
+        if m.remainder is not None:
+            b += m.remainder.num_entries * (VAL + IDX)
+        return b + (m.num_columns + m.num_rows) * VAL
+
+    def describe(self) -> dict:
+        d = super().describe()
+        d["num_chunks"] = self.matrix.num_chunks
+        d["levels"] = [
+            {"d": lv.d, "chunks": lv.num_chunks}
+            for lv in self.matrix.levels
+        ]
+        d["remainder_fraction"] = self.matrix.remainder_fraction
+        d["fill_ratio"] = self.matrix.fill_ratio
+        return d
+
+
 def _x64() -> bool:
     try:
         import jax
@@ -622,6 +700,7 @@ def make_kernel(
         "hybrid": HybridKernel,
         "dia": DiaKernel,
         "well": WellKernel,
+        "wellcw": WellCwKernel,
         "xla-csr": XlaCsrKernel,
     }
     if name not in classes:

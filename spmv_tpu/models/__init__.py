@@ -15,6 +15,7 @@ from spmv_tpu.models.coo import CooMatrix
 from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.well import WellMatrix
+from spmv_tpu.models.wellcw import WellCwMatrix
 from spmv_tpu.models.select import auto_format
 from spmv_tpu.models.bsr import BsrMatrix
 from spmv_tpu.models.ell import EllMatrix, ELL_PAD_SENTINEL
@@ -30,6 +31,7 @@ __all__ = [
     "CsrMatrix",
     "DiaMatrix",
     "WellMatrix",
+    "WellCwMatrix",
     "auto_format",
     "BsrMatrix",
     "EllMatrix",

@@ -46,6 +46,8 @@ __all__ = [
     "DeviceEll",
     "DeviceHybrid",
     "DeviceWell",
+    "DeviceWellCw",
+    "DeviceCwLevel",
     "DeviceBsr",
     "device_put_matrix",
     "default_value_dtype",
@@ -579,6 +581,164 @@ class DeviceWell:
         )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["value", "local_index", "anchor4", "group_of_chunk",
+                 "block_of_step"],
+    meta_fields=["d", "num_chunks", "chunks_per_step", "xr4"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceCwLevel:
+    """One WELL-CW level on device (see models.wellcw).
+
+    ``anchor4``/``group_of_chunk`` are staged step-major for SMEM:
+    (steps, 1, K).  ``xr4`` is the stride-d x-table row count the
+    kernel slices from — fixed by num_columns and d, so retracing is
+    shape-stable.
+    """
+
+    d: int
+    num_chunks: int           # padded to chunks_per_step per block run
+    chunks_per_step: int      # K
+    xr4: int
+    value: jax.Array          # (chunks, 8, 128)
+    local_index: jax.Array    # (chunks, 8, 128) int32
+    anchor4: jax.Array        # (steps, 1, K) int32
+    group_of_chunk: jax.Array  # (steps, 1, K) int32
+    block_of_step: jax.Array  # (steps,) int32
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "remainder"],
+    meta_fields=["num_rows", "num_columns", "num_entries",
+                 "num_groups", "blocks_per_out"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceWellCw:
+    """WELL-CW (chunk-window WELL) on device — see models.wellcw.
+
+    Multi-level: each level's chunks share a window width 1024*d and
+    run through one pallas_call; level outputs sum.  ``remainder`` is
+    the pathological-multiplicity tail on the XLA CSR path (~zero
+    entries by construction of the default level spec).
+    """
+
+    num_rows: int
+    num_columns: int
+    num_entries: int
+    num_groups: int
+    blocks_per_out: int       # B: 8-group blocks per output tile
+    levels: tuple             # of DeviceCwLevel
+    remainder: Optional[DeviceCsr]
+
+    format_name = "wellcw"
+
+    @classmethod
+    def from_host(
+        cls, m, dtype=None, blocks_per_out: Optional[int] = None,
+        chunks_per_step: Optional[int] = None,
+    ) -> "DeviceWellCw":
+        """Device conversion.  K (chunks per grid step) and B (output
+        folding) default to the probe-28 sweet spot K=64/B=8, scaled
+        down for small matrices so step padding stays negligible."""
+        from spmv_tpu.models.wellcw import WellCwMatrix  # noqa: F401
+
+        dtype = dtype or default_value_dtype()
+        if jnp.dtype(dtype).itemsize < 4:
+            raise MatrixError(
+                "DeviceWellCw requires a >=32-bit value dtype; got "
+                f"{jnp.dtype(dtype).name}."
+            )
+        num_groups = m.num_groups
+        if blocks_per_out is None:
+            blocks_per_out = max(1, min(8, num_groups // SUBLANE))
+        b_out = int(blocks_per_out)
+        out_rows = SUBLANE * b_out
+        num_blocks = -(-num_groups // (SUBLANE * b_out))
+
+        levels = []
+        for lv in m.levels:
+            if chunks_per_step is None:
+                avg = lv.num_chunks / max(num_blocks, 1)
+                k = 64 if avg >= 32 else 32 if avg >= 16 \
+                    else 16 if avg >= 8 else 8
+            else:
+                k = int(chunks_per_step)
+            value, loc, ws, grp2, blks = _pad_cw_steps(
+                np.asarray(lv.value), np.asarray(lv.local_index),
+                np.asarray(lv.anchor4), np.asarray(lv.group_of_chunk),
+                num_groups, k=k, out_rows=out_rows)
+            # stride-d table rows: windows tile the columns, so the
+            # last window's slice end 8*(win_count-1)+8 bounds every
+            # anchor4 + 8
+            win_count = max(
+                -(-m.num_columns // (1024 * lv.d)), 1)
+            xr4 = SUBLANE * win_count
+            levels.append(DeviceCwLevel(
+                d=lv.d,
+                num_chunks=int(value.shape[0]),
+                chunks_per_step=k,
+                xr4=int(xr4),
+                value=jnp.asarray(value, dtype=dtype),
+                local_index=jnp.asarray(loc),
+                anchor4=jnp.asarray(ws),
+                group_of_chunk=jnp.asarray(grp2),
+                block_of_step=jnp.asarray(blks),
+            ))
+        remainder = None
+        if m.remainder is not None:
+            remainder = DeviceCsr.from_host(m.remainder, dtype=dtype)
+        return cls(
+            num_rows=m.num_rows,
+            num_columns=m.num_columns,
+            num_entries=m.num_entries,
+            num_groups=num_groups,
+            blocks_per_out=b_out,
+            levels=tuple(levels),
+            remainder=remainder,
+        )
+
+
+def _pad_cw_steps(value, loc, a4, grp, num_groups, k, out_rows):
+    """Pad each output block's chunk run to a multiple of K with inert
+    chunks (value 0, anchor 0) so one grid step never spans two output
+    blocks; pad chunks carry the block's last group so group ids stay
+    non-decreasing.  Returns step-staged (value, loc, ws, grp2,
+    block_of_step)."""
+    # each output row of the (padded_groups, 128) result is one group,
+    # so a block of out_rows output rows covers out_rows groups
+    b_groups = out_rows
+    blk = grp // out_rows
+    num_blocks = -(-num_groups // b_groups)
+    starts = np.searchsorted(blk, np.arange(num_blocks + 1))
+    counts = np.diff(starts)
+    padded = np.where(counts == 0, k, -(-counts // k) * k)
+    out_start = np.concatenate([[0], np.cumsum(padded)])
+    total = int(out_start[-1])
+    value_o = np.zeros((total, SUBLANE, LANE), value.dtype)
+    loc_o = np.zeros((total, SUBLANE, LANE), np.int32)
+    a4_o = np.zeros(total, np.int32)
+    gpad = np.minimum(
+        np.arange(num_blocks) * b_groups + b_groups - 1,
+        num_groups - 1).astype(np.int32)
+    has = counts > 0
+    gpad[has] = grp[starts[1:][has] - 1]
+    grp_o = np.repeat(gpad, padded)
+    pos = np.arange(value.shape[0]) - starts[:-1][blk] \
+        + out_start[:-1][blk]
+    value_o[pos] = value
+    loc_o[pos] = loc
+    a4_o[pos] = a4
+    grp_o[pos] = grp
+    blks = np.repeat(np.arange(num_blocks, dtype=np.int32),
+                     padded // k)
+    steps = total // k
+    ws = a4_o.reshape(steps, 1, k)
+    grp2 = grp_o.reshape(steps, 1, k)
+    return value_o, loc_o, ws, grp2, blks
+
+
 def device_put_matrix(m, dtype=None, **kw):
     """Convert any host format to its device counterpart."""
     if isinstance(m, CsrMatrix):
@@ -593,6 +753,9 @@ def device_put_matrix(m, dtype=None, **kw):
         return DeviceDia.from_host(m, dtype=dtype, **kw)
     if isinstance(m, WellMatrix):
         return DeviceWell.from_host(m, dtype=dtype, **kw)
+    from spmv_tpu.models.wellcw import WellCwMatrix
+    if isinstance(m, WellCwMatrix):
+        return DeviceWellCw.from_host(m, dtype=dtype, **kw)
     from spmv_tpu.models.bsr import BsrMatrix
     if isinstance(m, BsrMatrix):
         return DeviceBsr.from_host(m, dtype=dtype, **kw)

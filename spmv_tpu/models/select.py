@@ -8,10 +8,13 @@ mechanical, so this module decides from the matrix's structure:
    dense diagonal storage stays near the nonzero count (the stencil
    case — the fastest kernel by far);
 2. otherwise **WELL**, optionally RCM-reordered first when that
-   collapses the window spill (general matrices);
-3. **CSR** only as the fallback for shapes WELL cannot improve
-   (pathological spill even after reordering) — the portable
-   segment-sum path.
+   collapses the window spill (general matrices with clustered
+   columns);
+3. otherwise **WELL-CW** (chunk-window WELL, models.wellcw) — the
+   scattered-column format whose windows tile the column space, so it
+   has no spill cliff (probes 27/28: 15 Gnnz/s on the random-banded
+   case where per-slot WELL spilled 31%).  The device path never
+   falls back to the XLA CSR gather path (~0.06 Gnnz/s on this chip).
 
 ``auto_format`` returns the converted host matrix plus a rationale
 dict for reports.
@@ -24,14 +27,17 @@ from typing import Tuple
 import numpy as np
 
 from spmv_tpu.io.matrix_market import MatrixMarket
-from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.dia import DiaMatrix
 from spmv_tpu.models.well import WellMatrix
+from spmv_tpu.models.wellcw import WellCwMatrix
 
 __all__ = ["auto_format"]
 
 DIA_MAX_FILL = 3.0          # dense diagonal slots per nonzero
 WELL_MAX_SPILL = 0.15       # acceptable out-of-window fraction
+WELL_MAX_FILL = 2.0         # stored slots per kept nonzero: beyond
+#                             this the per-slot kernel's storage
+#                             blowup loses to WELL-CW's cheaper chunks
 WELL_WINDOW_ROWS = 4
 
 
@@ -63,7 +69,8 @@ def auto_format(
     well = WellMatrix.from_matrix_market(mm, window_rows=window_rows)
     rationale["well_spill"] = well.spill_fraction
     rationale["well_fill"] = well.fill_ratio
-    if well.spill_fraction <= WELL_MAX_SPILL:
+    if (well.spill_fraction <= WELL_MAX_SPILL
+            and well.fill_ratio <= WELL_MAX_FILL):
         rationale["format"] = "well"
         return well, rationale
 
@@ -75,7 +82,9 @@ def auto_format(
             mm_rcm, window_rows=window_rows
         )
         rationale["well_rcm_spill"] = well_rcm.spill_fraction
-        if well_rcm.spill_fraction <= WELL_MAX_SPILL:
+        rationale["well_rcm_fill"] = well_rcm.fill_ratio
+        if (well_rcm.spill_fraction <= WELL_MAX_SPILL
+                and well_rcm.fill_ratio <= WELL_MAX_FILL):
             rationale["format"] = "well+rcm"
             rationale["note"] = (
                 "matrix was RCM-reordered; vectors must be permuted "
@@ -83,5 +92,12 @@ def auto_format(
             )
             return well_rcm, rationale
 
-    rationale["format"] = "csr"
-    return CsrMatrix.from_matrix_market(mm), rationale
+    # Scattered columns: chunk-window WELL — structurally spill-free
+    # (windows tile the column space; the remainder is multiplicity
+    # overflow only, ~zero with the default level spec), so there is
+    # no performance cliff and no CSR fallback on the device path.
+    cw = WellCwMatrix.from_matrix_market(mm)
+    rationale["format"] = "wellcw"
+    rationale["wellcw_fill"] = cw.fill_ratio
+    rationale["wellcw_remainder"] = cw.remainder_fraction
+    return cw, rationale

@@ -72,6 +72,9 @@ __all__ = [
     "bsr_spmm",
     "well_spmm",
     "well_spmm_padded",
+    "wellcw_spmv",
+    "wellcw_spmv_padded",
+    "wellcw_spmm",
 ]
 
 
@@ -1029,4 +1032,249 @@ def well_spmm(
         from spmv_tpu.ops.spmv import spmm as _xla_spmm
 
         Y = Y + _xla_spmm(A.spill, X.astype(Y.dtype))[: A.num_rows]
+    return Y
+
+
+# ----------------------------------------------------------------------
+# WELL-CW: chunk-window WELL (scattered general matrices) — see
+# models.wellcw for the layout and probes 27/28 for the measurements.
+#
+# Each chunk has ONE window of 8*d x2d rows.  x is pre-split into d
+# stride-d tables xt[p] = x2d[p::d], so slot s's gather table for
+# phase p is one contiguous, sublane-aligned dynamic slice
+# xt[p][a4 : a4+8] (anchors are multiples of 8 by construction —
+# windows tile the column space).  Per chunk: d x (slice +
+# take_along_axis + phase-select FMA) + one strip scatter; ~10x less
+# VPU work than the per-slot-window WELL kernel, which must assemble
+# its gather tables from 8 single-row slices per window row.
+# ----------------------------------------------------------------------
+
+
+def _cw_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref, y_ref,
+               *, d, k, out_rows, dtype):
+    i = pl.program_id(0)
+    first = jnp.logical_or(
+        i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
+    )
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANE), 0)
+    acc_blk = jnp.zeros((out_rows, LANE), dtype=dtype)
+    for kk in range(k):
+        a4 = ws_ref[0, 0, kk]
+        locv = l_ref[kk]
+        llane = locv & (LANE - 1)
+        sel = (locv >> 7) & (d - 1)          # phase = window-row % d
+        val = v_ref[kk]
+        acc = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+        for p in range(d):
+            T = x_ref[p, pl.ds(a4, SUBLANE), :]        # (8, LANE)
+            gthr = jnp.take_along_axis(T, llane, axis=1)
+            acc = acc + jnp.where(sel == p, val * gthr,
+                                  jnp.zeros_like(val))
+        strip = jnp.sum(acc, axis=0, keepdims=True)
+        grow = grp_ref[0, 0, kk] % out_rows
+        acc_blk = acc_blk + jnp.where(
+            row_iota == grow,
+            jnp.broadcast_to(strip, (out_rows, LANE)),
+            jnp.zeros((out_rows, LANE), dtype=dtype),
+        )
+
+    @pl.when(first)
+    def _():
+        y_ref[:] = acc_blk
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        y_ref[:] += acc_blk
+
+
+def _cw_tables(lvl, x):
+    """Split x into the level's d stride-d gather tables
+    (d, xr4, LANE)."""
+    d, xr4 = lvl.d, lvl.xr4
+    x2d = jnp.pad(x, (0, xr4 * d * LANE - x.shape[0])).reshape(
+        xr4 * d, LANE
+    )
+    return jnp.stack([x2d[p::d] for p in range(d)])
+
+
+def _cw_level_call(lvl, xt, padded_groups, out_rows, interpret):
+    k = lvl.chunks_per_step
+    steps = lvl.num_chunks // k
+    kernel = functools.partial(
+        _cw_kernel, d=lvl.d, k=k, out_rows=out_rows,
+        dtype=lvl.value.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((1, 1, k), lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, k), lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, SUBLANE, LANE),
+                             lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, SUBLANE, LANE),
+                             lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (out_rows, LANE), lambda i, blk: (blk[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_groups, LANE), lvl.value.dtype
+        ),
+        interpret=interpret,
+    )(lvl.block_of_step, lvl.anchor4, lvl.group_of_chunk,
+      xt, lvl.value, lvl.local_index)
+
+
+def _cw_vmem_guard(A, nvec=1):
+    xbytes = max(
+        lvl.xr4 * lvl.d for lvl in A.levels
+    ) * LANE * nvec * A.levels[0].value.dtype.itemsize
+    if xbytes > 8 * 1024 * 1024:
+        raise MatrixError(
+            f"x ({xbytes/1e6:.0f} MB padded) exceeds the WELL-CW "
+            "whole-x VMEM budget; shard the matrix "
+            "(spmv_tpu.parallel) or use DIA/WELL segmented paths"
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wellcw_spmv_padded(A, x, interpret: bool = False) -> jax.Array:
+    """y = A @ x over the CW levels (remainder not included), length
+    round_up(num_groups, 8 * blocks_per_out) * 128."""
+    _cw_vmem_guard(A)
+    out_rows = SUBLANE * A.blocks_per_out
+    padded_groups = round_up(A.num_groups, out_rows)
+    xf = x.astype(A.levels[0].value.dtype)
+    y = None
+    for lvl in A.levels:
+        y2d = _cw_level_call(lvl, _cw_tables(lvl, xf), padded_groups,
+                             out_rows, interpret)
+        y = y2d if y is None else y + y2d
+    return y.reshape(-1)
+
+
+def wellcw_spmv(A, x, interpret: bool = False) -> jax.Array:
+    """y = A @ x including the remainder, true row count."""
+    y = wellcw_spmv_padded(A, x, interpret=interpret)[: A.num_rows]
+    if A.remainder is not None:
+        from spmv_tpu.ops.spmv import spmv as _xla_spmv
+
+        y = y + _xla_spmv(A.remainder, x.astype(y.dtype))
+    return y
+
+
+def _cw_spmm_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref,
+                    y_ref, *, d, k, nvec, out_rows, dtype):
+    i = pl.program_id(0)
+    first = jnp.logical_or(
+        i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
+    )
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (out_rows, nvec, LANE), 0
+    )
+    acc_blk = jnp.zeros((out_rows, nvec, LANE), dtype=dtype)
+    for kk in range(k):
+        a4 = ws_ref[0, 0, kk]
+        locv = l_ref[kk]
+        llane = jnp.broadcast_to(
+            (locv & (LANE - 1))[:, None, :], (SUBLANE, nvec, LANE)
+        )
+        sel = jnp.broadcast_to(
+            ((locv >> 7) & (d - 1))[:, None, :], (SUBLANE, nvec, LANE)
+        )
+        val = v_ref[kk][:, None, :]
+        acc = jnp.zeros((SUBLANE, nvec, LANE), dtype=dtype)
+        for p in range(d):
+            T = x_ref[p, pl.ds(a4, SUBLANE), :, :]   # (8, nvec, LANE)
+            gthr = jnp.take_along_axis(T, llane, axis=2)
+            acc = acc + jnp.where(sel == p, val * gthr,
+                                  jnp.zeros_like(gthr))
+        strip = jnp.sum(acc, axis=0, keepdims=True)  # (1, nvec, LANE)
+        grow = grp_ref[0, 0, kk] % out_rows
+        acc_blk = acc_blk + jnp.where(
+            row_iota == grow,
+            jnp.broadcast_to(strip, (out_rows, nvec, LANE)),
+            jnp.zeros((out_rows, nvec, LANE), dtype=dtype),
+        )
+
+    @pl.when(first)
+    def _():
+        y_ref[:] = acc_blk
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        y_ref[:] += acc_blk
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
+    nvec = X.shape[1]
+    _cw_vmem_guard(A, nvec)
+    out_rows = SUBLANE * A.blocks_per_out
+    padded_groups = round_up(A.num_groups, out_rows)
+    Xf = X.astype(A.levels[0].value.dtype)
+    y = None
+    for lvl in A.levels:
+        d, xr4 = lvl.d, lvl.xr4
+        x3d = jnp.pad(
+            Xf, ((0, xr4 * d * LANE - X.shape[0]), (0, 0))
+        ).reshape(xr4 * d, LANE, nvec).transpose(0, 2, 1)
+        xt = jnp.stack([x3d[p::d] for p in range(d)])
+        k = lvl.chunks_per_step
+        steps = lvl.num_chunks // k
+        kernel = functools.partial(
+            _cw_spmm_kernel, d=d, k=k, nvec=nvec, out_rows=out_rows,
+            dtype=lvl.value.dtype,
+        )
+        y3d = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(steps,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, k), lambda i, blk: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, k), lambda i, blk: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k, SUBLANE, LANE),
+                                 lambda i, blk: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k, SUBLANE, LANE),
+                                 lambda i, blk: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (out_rows, nvec, LANE),
+                    lambda i, blk: (blk[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (padded_groups, nvec, LANE), lvl.value.dtype
+            ),
+            interpret=interpret,
+        )(lvl.block_of_step, lvl.anchor4, lvl.group_of_chunk,
+          xt, lvl.value, lvl.local_index)
+        y = y3d if y is None else y + y3d
+    return y.transpose(0, 2, 1).reshape(-1, nvec)
+
+
+def wellcw_spmm(A, X, interpret: bool = False) -> jax.Array:
+    """Y = A @ X including the remainder, true row count."""
+    Y = _wellcw_spmm_padded(A, X, interpret=interpret)[: A.num_rows]
+    if A.remainder is not None:
+        from spmv_tpu.ops.spmv import spmm as _xla_spmm
+
+        Y = Y + _xla_spmm(A.remainder, X.astype(Y.dtype))[: A.num_rows]
     return Y

@@ -31,6 +31,7 @@ from spmv_tpu.models.device import (
     DeviceEll,
     DeviceHybrid,
     DeviceWell,
+    DeviceWellCw,
     LANE,
     SUBLANE,
 )
@@ -114,6 +115,41 @@ def _well_padded(A: DeviceWell, x: jax.Array) -> jax.Array:
     return y
 
 
+def _wellcw_gathered(lvl, xf):
+    """Per-level (chunks, 8, LANE) products via the chunk-window
+    addressing (see models.wellcw): column = (anchor*d + w)*128 + lane
+    offset, with anchor4 flattened from its step-major SMEM staging."""
+    a4 = lvl.anchor4.reshape(-1)                    # (chunks,)
+    loc = lvl.local_index
+    xcol = (a4[:, None, None] * lvl.d + (loc >> 7)) * LANE + (
+        loc & (LANE - 1)
+    )
+    return lvl.value * jnp.take(xf, xcol, mode="clip")
+
+
+def _wellcw_padded(A: DeviceWellCw, x: jax.Array) -> jax.Array:
+    """WELL-CW SpMV, XLA formulation (the Pallas kernel's spec)."""
+    xf = x.astype(A.levels[0].value.dtype)
+    num_groups = A.num_groups
+    y = jnp.zeros((num_groups, LANE), dtype=xf.dtype)
+    for lvl in A.levels:
+        contrib = _wellcw_gathered(lvl, xf).sum(axis=1)
+        y = y + jax.ops.segment_sum(
+            contrib,
+            lvl.group_of_chunk.reshape(-1),
+            num_segments=num_groups,
+            indices_are_sorted=True,
+        )
+    y = y.reshape(-1)
+    if A.remainder is not None:
+        sp = _csr_padded(A.remainder, xf)
+        pad = y.shape[0] - sp.shape[0]
+        sp = jnp.pad(sp, (0, pad)) if pad >= 0 else sp[: y.shape[0]]
+        mask = jnp.arange(y.shape[0]) < A.num_rows
+        y = y + jnp.where(mask, sp, 0)
+    return y
+
+
 def spmv_padded(A, x: jax.Array) -> jax.Array:
     """y = A @ x including the padded tail rows (for sharded callers).
 
@@ -133,6 +169,8 @@ def spmv_padded(A, x: jax.Array) -> jax.Array:
         return _dia_padded(A, x)
     if isinstance(A, DeviceWell):
         return _well_padded(A, x)
+    if isinstance(A, DeviceWellCw):
+        return _wellcw_padded(A, x)
     if isinstance(A, DeviceBsr):
         # keep the padded-length contract (tail rows are exact zeros)
         y = spmm(A, x[:, None])[:, 0]
@@ -223,6 +261,27 @@ def spmm(A, X: jax.Array) -> jax.Array:
         if A.spill is not None:
             y = y + spmm(A.spill, xf)[: A.num_rows]
         return y
+    if isinstance(A, DeviceWellCw):
+        xf = X.astype(A.levels[0].value.dtype)
+        y = jnp.zeros((A.num_groups, LANE, X.shape[1]), dtype=xf.dtype)
+        for lvl in A.levels:
+            a4 = lvl.anchor4.reshape(-1)
+            loc = lvl.local_index
+            xcol = (a4[:, None, None] * lvl.d + (loc >> 7)) * LANE + (
+                loc & (LANE - 1)
+            )
+            gathered = jnp.take(xf, xcol, axis=0, mode="clip")
+            contrib = (lvl.value[..., None] * gathered).sum(axis=1)
+            y = y + jax.ops.segment_sum(
+                contrib,
+                lvl.group_of_chunk.reshape(-1),
+                num_segments=A.num_groups,
+                indices_are_sorted=True,
+            )
+        y = y.reshape(-1, X.shape[1])[: A.num_rows]
+        if A.remainder is not None:
+            y = y + spmm(A.remainder, xf)[: A.num_rows]
+        return y
     raise TypeError(f"unsupported device matrix type: {type(A)!r}")
 
 
@@ -244,4 +303,8 @@ def fast_spmv(A, x: jax.Array) -> jax.Array:
         from spmv_tpu.ops.pallas_kernels import well_spmv
 
         return well_spmv(A, x, interpret=interpret)
+    if isinstance(A, DeviceWellCw):
+        from spmv_tpu.ops.pallas_kernels import wellcw_spmv
+
+        return wellcw_spmv(A, x, interpret=interpret)
     return spmv(A, x)

@@ -55,6 +55,7 @@ __all__ = [
     "hybrid_spmv_refstring",
     "dia_spmv_refstring",
     "well_spmv_refstring",
+    "wellcw_spmv_refstring",
 ]
 
 RefString = Tuple[np.ndarray, np.ndarray]
@@ -514,3 +515,95 @@ def well_spmv_refstring(
         )
         return np.concatenate([addrs, a1]), np.concatenate([numas, n1])
     return addrs, numas
+
+
+def wellcw_spmv_refstring(
+    m,  # WellCwMatrix
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Reference string for the WELL-CW kernel (chunk-window WELL,
+    models.wellcw; string layout modeled after the ELL generator,
+    ell-matrix.cpp:102-143, like the WELL generator above).
+
+    Requires per-level arenas 'value{i}' (chunks*8*128 f64),
+    'local_index{i}' (same, int32), 'anchor{i}' (chunks int32), plus
+    'x', 'y', and — when the matrix has a remainder — the CSR arenas
+    'rem_row_ptr', 'rem_column_index', 'rem_value'.
+
+    Per chunk the kernel reads its anchor scalar, the (8, 128)
+    local_index/value tiles slot-major, the gathered x cells
+    (column = (anchor*d + w)*128 + lane offset), and accumulates the
+    chunk's 128 output lanes.  Levels are concatenated; the remainder
+    appends the CSR generator's string, as the hybrid kernel appends
+    its COO part (hybrid-matrix.cpp:231-249).
+
+    Work is partitioned by equal chunk blocks per level (chunks are
+    group-sorted, so this is the row-block partition in chunk units).
+    """
+    x_a = layout["x"]
+    y_a = layout["y"]
+    S, R = 8, 128
+
+    parts_a, parts_n = [], []
+    for i, lv in enumerate(m.levels):
+        val_a = layout[f"value{i}"]
+        loc_a = layout[f"local_index{i}"]
+        anc_a = layout[f"anchor{i}"]
+        lo_c, hi_c = _equal_block(lv.num_chunks, num_threads, thread)
+        chunks = hi_c - lo_c
+        per_chunk = 1 + 3 * S * R + R
+        addrs = np.empty(chunks * per_chunk, dtype=np.uint64)
+        numas = np.full(addrs.size, numa_domains[thread],
+                        dtype=np.int32)
+        if chunks:
+            c = np.arange(lo_c, hi_c, dtype=np.int64)
+            grid_a = addrs.reshape(chunks, per_chunk)
+            grid_n = numas.reshape(chunks, per_chunk)
+            grid_a[:, 0] = anc_a.addresses(c)
+            flat = (
+                c[:, None] * (S * R)
+                + np.arange(S * R, dtype=np.int64)[None, :]
+            )
+            body = grid_a[:, 1:1 + 3 * S * R].reshape(chunks, S * R, 3)
+            body[:, :, 0] = loc_a.addresses(flat)
+            body[:, :, 1] = val_a.addresses(flat)
+            a4 = np.asarray(lv.anchor4, dtype=np.int64)[lo_c:hi_c]
+            loc = np.asarray(
+                lv.local_index, dtype=np.int64
+            )[lo_c:hi_c].reshape(chunks, S * R)
+            xcol = (a4[:, None] * lv.d + (loc >> 7)) * R + (
+                loc & (R - 1)
+            )
+            xcol = np.clip(xcol, 0, max(m.num_columns - 1, 0))
+            body[:, :, 2] = x_a.addresses(xcol)
+            grid_n[:, 1:1 + 3 * S * R].reshape(
+                chunks, S * R, 3
+            )[:, :, 2] = numa_domains[
+                thread_of_index(x_a, xcol, num_threads, page_size)
+            ]
+            grp = np.asarray(
+                lv.group_of_chunk, dtype=np.int64
+            )[lo_c:hi_c]
+            y_idx = grp[:, None] * R + np.arange(R, dtype=np.int64)
+            y_idx = np.clip(y_idx, 0, max(m.num_rows - 1, 0))
+            grid_a[:, -R:] = y_a.addresses(y_idx)
+        parts_a.append(addrs)
+        parts_n.append(numas)
+
+    if m.remainder is not None:
+        rem_layout = _AliasLayout(layout, {
+            "row_ptr": "rem_row_ptr",
+            "column_index": "rem_column_index",
+            "value": "rem_value",
+        })
+        a1, n1 = csr_spmv_refstring(
+            m.remainder, rem_layout, thread, num_threads, numa_domains,
+            page_size,
+        )
+        parts_a.append(a1)
+        parts_n.append(n1)
+    return np.concatenate(parts_a), np.concatenate(parts_n)
