@@ -1,0 +1,54 @@
+"""Probe 29: segmented WELL SpMM on chip — correctness + rate.
+
+Validates the 3D (win_rows, nvec, LANE) sliding-segment DMA on real
+hardware (alignment: first dim is a multiple of 8; trailing dims are
+full) and measures the rate vs the whole-x kernel and the XLA path.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_tpu.io.generate import poisson2d
+from spmv_tpu.models import WellMatrix
+from spmv_tpu.models.device import DeviceWell
+from spmv_tpu.ops.pallas_kernels import well_spmm
+
+dev = jax.devices()[0]
+print("device:", dev)
+
+# 2048^2 poisson => 4.2M rows, 21M nnz; x is 16.8 MB > 8 MB budget so
+# from_host auto-segments.
+mm = poisson2d(2048, 2048)
+w = WellMatrix.from_matrix_market(mm, window_rows=2)
+A = DeviceWell.from_host(w, dtype=jnp.float32)
+print("segment_rows:", A.segment_rows, "chunks:", A.num_chunks,
+      "K:", A.chunks_per_step, "B:", A.blocks_per_out,
+      "spill nnz:", 0 if A.spill is None else A.spill.num_entries)
+assert A.segment_rows is not None
+
+k = 4
+rng = np.random.default_rng(0)
+X = rng.standard_normal((w.num_columns, k)).astype(np.float32)
+Xd = jnp.asarray(X)
+
+Y = np.asarray(well_spmm(A, Xd))
+want = np.stack(
+    [w.spmv(X[:, j].astype(np.float64)) for j in range(k)], axis=1
+)
+rel = np.abs(Y - want).max() / np.abs(want).max()
+print("max rel err:", rel)
+assert rel < 1e-4, rel
+
+f = jax.jit(lambda A, X: well_spmm(A, X))
+f(A, Xd).block_until_ready()
+t0 = time.perf_counter()
+n_it = 20
+for _ in range(n_it):
+    Y = f(A, Xd)
+Y.block_until_ready()
+dt = (time.perf_counter() - t0) / n_it
+print(f"seg spmm k={k}: {dt*1e3:.3f} ms, "
+      f"{k*w.num_entries/dt/1e9:.2f} Gnnz/s")

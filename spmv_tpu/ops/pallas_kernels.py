@@ -947,26 +947,166 @@ def _well_spmm_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref,
         y_ref[:] += acc_blk
 
 
+def _well_seg_spmm_kernel(blk_ref, seg_ref, ws_ref, grp_ref, x_hbm,
+                          v_ref, l_ref, y_ref, win, sems, *,
+                          window_rows, k, seg_rows, nvec, out_rows,
+                          dtype):
+    """Segmented WELL SpMM: X streams through a sliding VMEM segment.
+
+    The _well_seg_kernel segment schedule (one DMA per segment change,
+    amortized over the run's steps) combined with the _well_spmm_kernel
+    multi-vector body — each slot's lane shuffle applies to all nvec
+    columns of the (rows, nvec, LANE) X layout.
+    """
+    i = pl.program_id(0)
+    seg_changed = jnp.logical_or(
+        i == 0, seg_ref[i] != seg_ref[jnp.maximum(i - 1, 0)]
+    )
+
+    win_rows = round_up(seg_rows + window_rows + 1, SUBLANE)
+
+    @pl.when(seg_changed)
+    def _():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(seg_ref[i], win_rows)],
+            win,
+            sems,
+        )
+        dma.start()
+        dma.wait()
+
+    first_of_block = jnp.logical_or(
+        i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
+    )
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (out_rows, nvec, LANE), 0
+    )
+    acc_blk = jnp.zeros((out_rows, nvec, LANE), dtype=dtype)
+    for kk in range(k):
+        loc = l_ref[kk]
+        lrow = loc >> 7
+        llane = loc & (LANE - 1)
+        val = v_ref[kk]
+        strip = jnp.zeros((nvec, LANE), dtype=dtype)
+        for s in range(SUBLANE):
+            idx = jnp.broadcast_to(llane[s][None, :], (nvec, LANE))
+            vs = val[s][None, :]
+            for m in range(window_rows):
+                bt = win[ws_ref[0, s, kk] + m]         # (nvec, LANE)
+                g = jnp.take_along_axis(bt, idx, axis=1)
+                strip = strip + jnp.where(
+                    lrow[s][None, :] == m, vs * g,
+                    jnp.zeros((nvec, LANE), dtype=dtype),
+                )
+        grow = grp_ref[0, 0, kk] % out_rows
+        acc_blk = acc_blk + jnp.where(
+            row_iota == grow,
+            jnp.broadcast_to(strip[None], (out_rows, nvec, LANE)),
+            jnp.zeros((out_rows, nvec, LANE), dtype=dtype),
+        )
+
+    @pl.when(first_of_block)
+    def _():
+        y_ref[:] = acc_blk
+
+    @pl.when(jnp.logical_not(first_of_block))
+    def _():
+        y_ref[:] += acc_blk
+
+
+def _well_seg_spmm_call(A, x3d, nvec, interpret):
+    m = A.window_rows
+    k = A.chunks_per_step
+    seg_rows = A.segment_rows
+    out_rows = SUBLANE * A.blocks_per_out
+    padded_groups = round_up(A.num_groups, out_rows)
+    win_rows = round_up(seg_rows + m + 1, SUBLANE)
+    # The segment window is the only large VMEM consumer (the per-step
+    # value/index blocks and the output tile are tens of KB), so it can
+    # use most of the ~16 MB scoped-VMEM budget.
+    seg_bytes = win_rows * nvec * LANE * A.value.dtype.itemsize
+    if seg_bytes > 12 * 1024 * 1024:
+        raise MatrixError(
+            f"X segment ({seg_bytes/1e6:.0f} MB for nvec={nvec}) "
+            "exceeds the WELL spmm kernel's VMEM budget; rebuild the "
+            "device with smaller segment_rows or use ops.spmm (XLA)"
+        )
+    kernel = functools.partial(
+        _well_seg_spmm_kernel, window_rows=m, k=k, seg_rows=seg_rows,
+        nvec=nvec, out_rows=out_rows, dtype=A.value.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(A.num_chunks // k,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, SUBLANE, k),
+                    lambda i, blk, seg: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, k),
+                    lambda i, blk, seg: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (k, SUBLANE, LANE),
+                    lambda i, blk, seg: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (k, SUBLANE, LANE),
+                    lambda i, blk, seg: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (out_rows, nvec, LANE),
+                lambda i, blk, seg: (blk[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((win_rows, nvec, LANE), A.value.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_groups, nvec, LANE), A.value.dtype
+        ),
+        interpret=interpret,
+    )(A.block_of_step, A.segment_of_step,
+      A.window_start, A.group_of_chunk, x3d, A.value, A.local_index)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def well_spmm_padded(
     A: DeviceWell, X: jax.Array, interpret: bool = False
 ) -> jax.Array:
     """Y = A @ X over the WELL chunks (spill not included), shape
     (padded_groups * LANE, k)."""
-    if A.segment_rows is not None:
-        raise MatrixError(
-            "well_spmm_padded supports whole-x devices only; use the "
-            "XLA spmm path for segmented matrices"
-        )
     m = A.window_rows
     k = A.chunks_per_step
     nvec = X.shape[1]
     xrows = _cdiv(A.num_columns, LANE) + m + 1
+    if A.segment_rows is not None:
+        # segmented mode: X stays in HBM, streams through a sliding
+        # VMEM segment — no whole-X size limit
+        xrows = round_up(xrows + A.segment_rows + 8, SUBLANE)
+        xf = X.astype(A.value.dtype)
+        x3d = jnp.pad(
+            xf, ((0, xrows * LANE - X.shape[0]), (0, 0))
+        ).reshape(xrows, LANE, nvec).transpose(0, 2, 1)
+        y3d = _well_seg_spmm_call(A, x3d, nvec, interpret)
+        return y3d.transpose(0, 2, 1).reshape(-1, nvec)
     vmem_bytes = xrows * nvec * LANE * A.value.dtype.itemsize
     if vmem_bytes > 8 * 1024 * 1024:
         raise MatrixError(
             f"X ({vmem_bytes/1e6:.0f} MB padded) exceeds the WELL "
-            "spmm kernel's VMEM budget; use ops.spmm (XLA) or shard"
+            "spmm kernel's VMEM budget; convert with segment_rows=... "
+            "(DeviceWell.from_host), use ops.spmm (XLA), or shard"
         )
     xf = X.astype(A.value.dtype)
     x3d = jnp.pad(

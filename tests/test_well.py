@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 from spmv_tpu.errors import MatrixError
-from spmv_tpu.io.generate import poisson2d, random_sparse
+from spmv_tpu.io.generate import banded_random, poisson2d, random_sparse
 from spmv_tpu.models import CsrMatrix, WellMatrix
 from spmv_tpu.models.device import DeviceWell, device_put_matrix
 from spmv_tpu.ops import spmv, well_spmv
@@ -269,11 +269,31 @@ def test_pallas_spmm_interpret():
     assert Y.shape == (w.num_rows, 3)
     np.testing.assert_allclose(Y, want, rtol=1e-4, atol=1e-4)
 
-    # segmented devices route to XLA
-    from spmv_tpu.errors import MatrixError
+    # segmented devices run the sliding-segment spmm kernel
     A2 = DeviceWell.from_host(w, segment_rows=8, dtype=jnp.float32)
-    with pytest.raises(MatrixError):
-        well_spmm(A2, jnp.asarray(X), interpret=True)
+    Y2 = np.asarray(well_spmm(A2, jnp.asarray(X), interpret=True))
+    np.testing.assert_allclose(Y2, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_segmented_folded_blocks():
+    """Segmented SpMM with folded output blocks (blocks_per_out>1) and
+    a spill remainder — the large-matrix configuration."""
+    from spmv_tpu.ops.pallas_kernels import well_spmm
+
+    mm = banded_random(1024, half_bandwidth=48, nnz_per_row=6, seed=7)
+    w = WellMatrix.from_matrix_market(mm, window_rows=2)
+    A = DeviceWell.from_host(w, dtype=jnp.float32, segment_rows=16,
+                             blocks_per_out=2, chunks_per_step=8)
+    assert A.segment_rows is not None
+    X = np.random.default_rng(61).standard_normal(
+        (w.num_columns, 4)
+    ).astype(np.float32)
+    Y = np.asarray(well_spmm(A, jnp.asarray(X), interpret=True))
+    want = np.stack(
+        [w.spmv(X[:, j].astype(np.float64)) for j in range(4)], axis=1
+    )
+    assert Y.shape == (w.num_rows, 4)
+    np.testing.assert_allclose(Y, want, rtol=1e-4, atol=1e-4)
 
 
 def test_segmented_empty_block_has_valid_segment():
