@@ -2,15 +2,31 @@
 
 Mirrors the reference's profiling mode (src/profile-kernel.cpp:197-313:
 warmup + timed runs + statistics) on a large 5-point-stencil matrix in
-the HBM-streaming regime (working set ~400 MB >> VMEM).  The kernel is
-the TPU-native DIA stencil kernel (spmv_tpu/ops/pallas_kernels.py) in
-its chained zero-copy form — the configuration an iterative solver
-(CG) actually runs.
+the HBM-streaming regime (diagonal data ~336 MB >> on-chip memory).
+The kernel is the TPU-native DIA stencil kernel
+(spmv_tpu/ops/pallas_kernels.py) in its chained in-place form — the
+configuration an iterative solver (CG) actually runs.
 
 Driver contract: print ONE JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where value is the achieved fraction of the memory-bandwidth roofline
 (BASELINE.json target: >= 0.80) and vs_baseline = value / 0.80.
+
+Methodology (probes 30-33 in experiments/RESULTS.md):
+
+- Timing is the slope between two LONG chained-iteration programs.
+  Dispatch through the tunneled backend costs ~30 ms with multi-ms
+  variance, so the harness (time_kernel) extends the long chain until
+  the timing signal dominates that variance.  Short-chain slopes can
+  misread a 480 us kernel as anywhere from 270 to 570 us.
+- The roofline is residency-aware: the chained in-place kernel keeps
+  its x/y buffer (67 MB) on-chip across iterations (measured: working
+  sets <= 96 MB sustain ~6.4 TB/s r+w and never cross the HBM pins),
+  so the speed-of-light time prices only the diagonal stream at HBM
+  bandwidth plus the resident r+w at the measured resident bandwidth.
+  The naive single-pass fraction (all bytes at HBM speed) is also
+  reported; it exceeds 1 for this kernel precisely because of the
+  residency effect.
 
 Correctness is gated in-line: an on-device |y| checksum must match the
 fp64 host reference to CHECKSUM_RTOL before any timing is reported.
@@ -66,7 +82,7 @@ def _run() -> None:
     machine = TPU_V5E
 
     # ~16.8M rows / ~84M nnz: diagonals alone are 336 MB, far beyond
-    # VMEM — the honest HBM-streaming regime.  (Tiny on CPU.)
+    # on-chip memory — the honest HBM-streaming regime.  (Tiny on CPU.)
     n_grid = 4096 if on_tpu else 64
     mm = poisson2d(n_grid, n_grid)
     dia = DiaMatrix.from_matrix_market(mm)
@@ -100,14 +116,9 @@ def _run() -> None:
         }))
         return
 
-    # Two independent timing blocks, keep the faster: chip/tunnel
-    # state varies +-10% between minutes and the kernel's true floor
-    # is what the roofline comparison is about.
-    t = min(
-        time_kernel(step, (x2d, A), k_small=4, k_large=24,
-                    runs=8).seconds_per_iteration
-        for _ in range(2)
-    )
+    ks, kl = (8, 136) if on_tpu else (2, 6)
+    timing = time_kernel(step, (x2d, A), k_small=ks, k_large=kl, runs=6)
+    t = timing.seconds_per_iteration
 
     # Secondary: multi-vector SpMM (k=4) through the Pallas kernel.
     from spmv_tpu.ops.pallas_kernels import dia_prepare_X, dia_spmm_core
@@ -120,12 +131,16 @@ def _run() -> None:
         return dia_spmm_core(A, x3d, tile_rows=SPMM_TILE_ROWS,
                              interpret=interpret)
 
-    t_spmm = min(
-        time_kernel(spmm_step, (x3d, A), k_small=4, k_large=16,
-                    runs=6).seconds_per_iteration
-        for _ in range(2)
+    ks, kl = (4, 40) if on_tpu else (2, 4)
+    t_spmm = time_kernel(
+        spmm_step, (x3d, A), k_small=ks, k_large=kl, runs=6
+    ).seconds_per_iteration
+    # X/Y footprint at this size (k*n*4 ~ 268 MB) exceeds the
+    # residency budget, so roofline_time folds it into the HBM stream.
+    spmm_roof = roofline_time(
+        dia.num_diagonals * 4 * n, 2 * k * nnz, machine=machine,
+        dtype="float32", resident_rw_bytes=2 * k * n * 4,
     )
-    spmm_bytes = dia.num_diagonals * 4 * n + 2 * k * n * 4
 
     # Secondary: bf16 storage (halves the dominant diagonal stream;
     # f32 accumulation in-kernel).
@@ -137,8 +152,9 @@ def _run() -> None:
         return dia_spmv_core(A, x2d, tile_rows=TILE_ROWS,
                              interpret=interpret)
 
+    ks, kl = (8, 136) if on_tpu else (2, 6)
     t_bf16 = time_kernel(
-        bstep, (xb2d, Ab), k_small=8, k_large=64, runs=6
+        bstep, (xb2d, Ab), k_small=ks, k_large=kl, runs=6
     ).seconds_per_iteration
 
     # Tertiary: general scattered matrix through WELL-CW (the
@@ -165,25 +181,35 @@ def _run() -> None:
     cw_got = float(jnp.abs(cw_step(xwd, Acw)).sum())
     cw_rel = abs(cw_got - cw_want) / cw_want
     cw_ok = cw_rel <= CHECKSUM_RTOL
-    t_cw = min(
-        time_kernel(cw_step, (xwd, Acw), k_small=4, k_large=16,
-                    runs=6).seconds_per_iteration
-        for _ in range(2)
-    ) if cw_ok else float("inf")
+    ks, kl = (4, 48) if on_tpu else (2, 4)
+    t_cw = time_kernel(
+        cw_step, (xwd, Acw), k_small=ks, k_large=kl, runs=6
+    ).seconds_per_iteration if cw_ok else float("inf")
     # Stored stream: every level's value+index tiles move once per
-    # SpMV, plus x read and y written once.
+    # SpMV; x and y (4 MB each) are resident.
     cw_bytes = sum(
         int(lvl.value.size) * (lvl.value.dtype.itemsize + 4)
         for lvl in Acw.levels
-    ) + 2 * 4 * cw_n
-    cw_frac = cw_bytes / machine.hbm_gbps / 1e9 / t_cw
+    )
+    cw_roof = roofline_time(
+        cw_bytes, 2 * cw.num_entries, machine=machine,
+        dtype="float32", resident_rw_bytes=2 * 4 * cw_n,
+    )
+    cw_frac = cw_roof["time_roofline_s"] / t_cw
 
-    # Minimum HBM traffic: diagonals streamed once, x read once,
-    # y written once.
-    bytes_min = (dia.num_diagonals + 2) * 4 * n
-    roof = roofline_time(bytes_min, 2 * nnz, machine=machine,
-                         dtype="float32")
+    # Residency-aware roofline for the headline (probes 30-33): the
+    # diagonal stream crosses HBM once per SpMV; the aliased x/y
+    # buffer (67 MB) stays on-chip across chained iterations.
+    stream_bytes = dia.num_diagonals * 4 * n
+    resident_rw = 2 * n * 4
+    roof = roofline_time(stream_bytes, 2 * nnz, machine=machine,
+                         dtype="float32", resident_rw_bytes=resident_rw)
     frac = roof["time_roofline_s"] / t
+    # The naive single-pass model (every byte at HBM speed) — >1 for
+    # this kernel because of residency; kept for continuity with r01.
+    naive_roof = roofline_time(stream_bytes + resident_rw, 2 * nnz,
+                               machine=machine, dtype="float32")
+    naive_frac = naive_roof["time_roofline_s"] / t
 
     result = {
         "metric": "dia_spmv_roofline_fraction",
@@ -200,18 +226,21 @@ def _run() -> None:
             "dtype": "float32",
             "tile_rows": TILE_ROWS,
             "seconds_per_spmv": t,
+            "timing_chain_lengths": [timing.k_small, timing.k_large],
             "gnnz_per_s": nnz / t / 1e9,
             "gflop_per_s": 2 * nnz / t / 1e9,
-            "achieved_gb_per_s": bytes_min / t / 1e9,
-            "modeled_min_bytes": bytes_min,
+            "hbm_stream_bytes": stream_bytes,
+            "resident_rw_bytes": resident_rw,
+            "achieved_stream_gb_per_s": stream_bytes / t / 1e9,
             "roofline_s": roof["time_roofline_s"],
+            "naive_single_pass_fraction": round(naive_frac, 4),
             "machine_model": machine.name,
             "checksum_rel_err": rel,
             "spmm_k": k,
             "spmm_seconds": t_spmm,
             "spmm_gnnz_per_s": k * nnz / t_spmm / 1e9,
-            "spmm_roofline_fraction": spmm_bytes / machine.hbm_gbps
-            / 1e9 / t_spmm,
+            "spmm_roofline_fraction": spmm_roof["time_roofline_s"]
+            / t_spmm,
             "bf16_seconds_per_spmv": t_bf16,
             "bf16_gnnz_per_s": nnz / t_bf16 / 1e9,
             "bf16_speedup_vs_f32": t / t_bf16,

@@ -57,12 +57,25 @@ class TpuMachineModel:
     ici_links: int
     lane: int = 128
     sublane: int = 8
+    # Fast-buffer residency (measured, probe 33): buffers whose total
+    # footprint stays under this budget can be kept entirely on-chip
+    # across chained kernel invocations (XLA places small donated
+    # HLO buffers in VMEM), so they never cross the HBM pins.  An
+    # in-place r+w sweep over a resident buffer sustains
+    # ``resident_gbps`` aggregate (~8x HBM); the cliff to HBM speed
+    # sits between 96 and 128 MB on the measured chip — 96 MB is the
+    # conservative budget.  0 = no residency modeling.
+    resident_bytes: int = 0
+    resident_gbps: float = 0.0
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)
 
 
-# Public specs (cloud.google.com/tpu/docs/system-architecture).
+# Public specs (cloud.google.com/tpu/docs/system-architecture);
+# residency numbers measured on the target chip (probes 30-33 in
+# experiments/RESULTS.md): working sets <= 96 MB sustain ~6.4 TB/s
+# r+w and never touch HBM, the cliff to ~640 GB/s sits by 128 MB.
 TPU_V5E = TpuMachineModel(
     name="tpu-v5e",
     hbm_bytes=16 * 1024**3,
@@ -72,6 +85,8 @@ TPU_V5E = TpuMachineModel(
     peak_flops_bf16=197e12,
     ici_gbps_per_link=400.0,
     ici_links=4,
+    resident_bytes=96 * 1024**2,
+    resident_gbps=6400.0,
 )
 
 TPU_V5P = TpuMachineModel(
@@ -164,22 +179,48 @@ def roofline_time(
     flops: int,
     machine: Optional[TpuMachineModel] = None,
     dtype: str = "float32",
+    resident_rw_bytes: int = 0,
 ) -> dict:
-    """Speed-of-light time and the binding resource."""
+    """Speed-of-light time and the binding resource.
+
+    ``bytes_moved`` is the HBM-streaming traffic (arrays touched once
+    per pass whose footprint exceeds the residency budget).
+    ``resident_rw_bytes`` is the read+write volume over buffers small
+    enough to stay on-chip across chained invocations (see
+    ``TpuMachineModel.resident_bytes``); it is priced at the measured
+    resident bandwidth instead of HBM.  If the machine has no
+    residency model — or the resident working set exceeds the budget —
+    those bytes are folded into the HBM stream.
+    """
     machine = machine or TPU_V5E
     peak = (
         machine.peak_flops_bf16 if dtype == "bfloat16"
         else machine.peak_flops_f32
     )
+    resident_ok = (
+        machine.resident_bytes > 0
+        and machine.resident_gbps > 0
+        # r+w volume counts each pass over the buffer; the footprint
+        # bound is conservative: half the r+w volume must fit.
+        and resident_rw_bytes // 2 <= machine.resident_bytes
+    )
+    if resident_rw_bytes and not resident_ok:
+        bytes_moved = bytes_moved + resident_rw_bytes
+        resident_rw_bytes = 0
     t_mem = bytes_moved / (machine.hbm_gbps * 1e9)
+    if resident_rw_bytes:
+        t_mem += resident_rw_bytes / (machine.resident_gbps * 1e9)
     t_cmp = flops / peak
+    total_bytes = bytes_moved + resident_rw_bytes
     return {
         "machine": machine.name,
         "bytes": bytes_moved,
+        "resident_rw_bytes": resident_rw_bytes,
         "flops": flops,
         "time_memory_bound_s": t_mem,
         "time_compute_bound_s": t_cmp,
         "time_roofline_s": max(t_mem, t_cmp),
         "bound": "memory" if t_mem >= t_cmp else "compute",
-        "arithmetic_intensity": flops / bytes_moved if bytes_moved else 0.0,
+        "arithmetic_intensity": flops / total_bytes if total_bytes
+        else 0.0,
     }

@@ -64,6 +64,8 @@ def time_kernel(
     k_large: int = 12,
     runs: int = 5,
     warmup: int = 1,
+    min_signal_s: Optional[float] = None,
+    max_chain_s: float = 4.0,
 ) -> KernelTiming:
     """Estimate seconds per iteration of ``step``.
 
@@ -71,7 +73,19 @@ def time_kernel(
     iteration (the harness chains it with lax.fori_loop and reduces the
     final value to a scalar).  The first arg is the iterated value; the
     rest are loop constants.
+
+    ``min_signal_s``: minimum required gap between the large and small
+    chain's wall time.  Tunneled dispatch overhead is ~30 ms with
+    multi-ms run-to-run variance, so a slope whose signal is smaller
+    than that variance is noise (measured: the K=4/24 slope of a
+    483 us kernel can read anywhere from 270 to 570 us).  When the gap
+    is below this floor, ``k_large`` is extended (recompiling the
+    chain) until the signal dominates.  Default: 0.06 s on non-CPU
+    backends, off on CPU where dispatch is cheap and deterministic.
     """
+    if min_signal_s is None:
+        platform = jax.devices()[0].platform
+        min_signal_s = 0.0 if platform == "cpu" else 0.06
 
     def chained(k):
         @jax.jit
@@ -83,13 +97,29 @@ def time_kernel(
 
         return run
 
-    fn_s, fn_l = chained(k_small), chained(k_large)
+    fn_s = chained(k_small)
     for _ in range(warmup):
         np.asarray(fn_s(*args))
-        np.asarray(fn_l(*args))
-
     t_small = [_time_once(fn_s, args) for _ in range(runs)]
-    t_large = [_time_once(fn_l, args) for _ in range(runs)]
+
+    for _attempt in range(4):
+        fn_l = chained(k_large)
+        for _ in range(warmup):
+            np.asarray(fn_l(*args))
+        t_large = [_time_once(fn_l, args) for _ in range(runs)]
+        signal = min(t_large) - min(t_small)
+        if (min_signal_s <= 0.0
+                or signal >= min_signal_s
+                or min(t_large) >= max_chain_s
+                or k_large - k_small >= 65536):
+            break
+        # Signal below the overhead-variance floor: extend the chain.
+        per_est = max(signal / (k_large - k_small),
+                      min(t_large) / k_large / 8, 1e-7)
+        k_large = k_small + max(
+            min(int(np.ceil(min_signal_s / per_est)), 65536),
+            2 * (k_large - k_small),
+        )
 
     per_iter = (min(t_large) - min(t_small)) / (k_large - k_small)
     per_iter = max(per_iter, 1e-12)
