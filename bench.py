@@ -185,12 +185,16 @@ def _run() -> None:
     t_cw = time_kernel(
         cw_step, (xwd, Acw), k_small=ks, k_large=kl, runs=6
     ).seconds_per_iteration if cw_ok else float("inf")
-    # Stored stream: every level's value+index tiles move once per
-    # SpMV; x and y (4 MB each) are resident.
+    # Stored stream: every level's value+index tiles (and the pool's
+    # rowmap) move once per SpMV; x and y (4 MB each) are resident.
     cw_bytes = sum(
         int(lvl.value.size) * (lvl.value.dtype.itemsize + 4)
         for lvl in Acw.levels
     )
+    if Acw.pool is not None:
+        cw_bytes += int(Acw.pool.value.size) * (
+            Acw.pool.value.dtype.itemsize + 8
+        )
     cw_roof = roofline_time(
         cw_bytes, 2 * cw.num_entries, machine=machine,
         dtype="float32", resident_rw_bytes=2 * 4 * cw_n,

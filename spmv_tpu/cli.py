@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "device and report convergence + timing")
     p.add_argument("--cg-tol", type=float, default=1e-6,
                    help="CG relative-residual tolerance (default 1e-6)")
+    p.add_argument("--precondition", choices=("none", "jacobi"),
+                   default="none",
+                   help="preconditioner for --cg (jacobi = diagonal "
+                        "scaling; one fused elementwise op per "
+                        "iteration)")
+    p.add_argument("--spmm", type=int, metavar="K", default=0,
+                   help="with --profile: time the multi-vector product "
+                        "A @ X for an (n, K) block X instead of SpMV")
     p.add_argument("--reorder", choices=("none", "rcm", "gp", "sigma"),
                    default="none",
                    help="reorder the matrix before conversion "
@@ -134,21 +142,61 @@ def _make_kernel(args):
 
 
 def _list_devices(out) -> None:
+    """Device/platform introspection — the analogue of the reference's
+    --list-perf-events (src/util/perf-events.cpp:104-181), which
+    enumerates every PMU event with attributes.  Lists what IS
+    introspectable on this backend: devices with memory stats and
+    coordinates, platform/library versions, profiler capabilities, and
+    the built-in machine models (including the measured residency
+    numbers the roofline uses)."""
     import jax
 
     from spmv_tpu.perfmodel.tiling import TPU_V5E, TPU_V5P
     from spmv_tpu.utils.jsonio import dump_json
 
-    doc = {
-        "devices": [
-            {
-                "id": d.id,
-                "platform": d.platform,
-                "device_kind": d.device_kind,
-                "process_index": d.process_index,
+    devices = []
+    for d in jax.devices():
+        entry = {
+            "id": d.id,
+            "platform": d.platform,
+            "device_kind": d.device_kind,
+            "process_index": d.process_index,
+        }
+        for attr in ("coords", "core_on_chip", "slice_index"):
+            v = getattr(d, attr, None)
+            if v is not None:
+                entry[attr] = list(v) if isinstance(v, tuple) else v
+        try:
+            ms = d.memory_stats()
+        except Exception:
+            ms = None
+        if ms:
+            entry["memory_stats"] = {
+                k: int(v) for k, v in sorted(ms.items())
+                if isinstance(v, (int, float))
             }
-            for d in jax.devices()
-        ],
+        devices.append(entry)
+
+    try:
+        platform_version = jax.extend.backend.get_backend().platform_version
+    except Exception:
+        platform_version = None
+
+    profiler = {
+        "trace_capture": True,            # --jax-profile DIR
+        "xplane_parsing": True,           # profiling_events section
+        "per_kernel_device_time": True,
+        "hardware_counters": False,       # no perf_event_open analogue
+    }
+
+    doc = {
+        "devices": devices,
+        "device_count": jax.device_count(),
+        "process_count": jax.process_count(),
+        "jax_version": jax.__version__,
+        "platform_version": platform_version,
+        "default_backend": jax.default_backend(),
+        "profiler_capabilities": profiler,
         "machine_models": [TPU_V5E.to_json(), TPU_V5P.to_json()],
     }
     dump_json(doc, out)
@@ -186,6 +234,11 @@ def _solve_cg(args, out) -> None:
         device_put_matrix,
     )
     from spmv_tpu.ops import conjugate_gradient, spmv
+    from spmv_tpu.ops.solvers import (
+        extract_diagonal,
+        jacobi_preconditioner,
+        preconditioned_conjugate_gradient,
+    )
     from spmv_tpu.utils.jsonio import dump_json
 
     kernel = _make_kernel(args)
@@ -200,18 +253,30 @@ def _solve_cg(args, out) -> None:
     ones = jnp.ones((m.num_columns,), default_value_dtype())
     b = spmv(A, ones)
 
-    @jax.jit
-    def solve(b):
-        return conjugate_gradient(
-            lambda v: spmv(A, v), b,
-            tol=args.cg_tol, max_iterations=args.cg,
-        )
+    if args.precondition == "jacobi":
+        diag = jnp.asarray(extract_diagonal(m),
+                           dtype=default_value_dtype())
+        minv = jacobi_preconditioner(diag)
+
+        @jax.jit
+        def solve(b):
+            return preconditioned_conjugate_gradient(
+                lambda v: spmv(A, v), b, minv,
+                tol=args.cg_tol, max_iterations=args.cg,
+            )
+    else:
+        @jax.jit
+        def solve(b):
+            return conjugate_gradient(
+                lambda v: spmv(A, v), b,
+                tol=args.cg_tol, max_iterations=args.cg,
+            )
 
     res = solve(b)
-    jax.block_until_ready(res)
+    float(res.residual_norm)   # fetch: the only reliable device sync
     t0 = _time.perf_counter()
     res = solve(b)
-    jax.block_until_ready(res)
+    float(res.residual_norm)
     seconds = _time.perf_counter() - t0
 
     import numpy as np
@@ -225,6 +290,7 @@ def _solve_cg(args, out) -> None:
         "cg": {
             "max_iterations": args.cg,
             "tolerance": args.cg_tol,
+            "preconditioner": args.precondition,
             "iterations": int(res.iterations),
             "residual_norm": float(res.residual_norm),
             "solution_rms_error_vs_ones": err,
@@ -243,11 +309,29 @@ def _profile(args, out) -> None:
 
     kernel = _make_kernel(args)
     kernel.init(verbose=args.verbose)
-    step, fargs = kernel.run_fn()
+    op_info = None
+    flops_override = bytes_override = None
+    if args.spmm > 0:
+        if not hasattr(kernel, "spmm_fn"):
+            raise SpmvError(
+                f"--spmm is not supported by the {kernel.name} kernel"
+            )
+        step, fargs = kernel.spmm_fn(args.spmm)
+        op_info = {"kind": "spmm", "k": args.spmm}
+        # k products share one matrix stream; x/y volume scales with k.
+        m = kernel.matrix
+        vb = 8 if fargs[0].dtype.itemsize == 8 else 4
+        flops_override = args.spmm * kernel.flops_per_run()
+        bytes_override = kernel.bytes_per_run() + (args.spmm - 1) * (
+            m.num_columns + m.num_rows
+        ) * vb
+    else:
+        step, fargs = kernel.run_fn()
 
     if args.verbose:
-        print(f"profiling {kernel.name} for {args.profile} runs on "
-              f"{jax.devices()[0]}", file=sys.stderr)
+        mode = f"spmm k={args.spmm}" if args.spmm > 0 else "spmv"
+        print(f"profiling {kernel.name} ({mode}) for {args.profile} "
+              f"runs on {jax.devices()[0]}", file=sys.stderr)
 
     flusher = None
     if args.flush_caches:
@@ -289,6 +373,9 @@ def _profile(args, out) -> None:
         flush_caches=bool(args.flush_caches),
         trace_config=config,
         jax_profile_dir=args.jax_profile,
+        op_info=op_info,
+        flops_per_run=flops_override,
+        bytes_per_run=bytes_override,
     )
     dump_json(doc, out)
 

@@ -224,6 +224,33 @@ class _MatrixKernel(Kernel):
 
         return step, (x, A)
 
+    def spmm_fn(self, k: int):
+        """Multi-vector (SpMM) profiling step: V is (columns, k).
+
+        The multi-vector analogue of run_fn; ``_chain_output`` slices
+        on the leading (row) axis so rectangular matrices chain the
+        same way as in the SpMV step.
+        """
+        import jax.numpy as jnp
+
+        from spmv_tpu.models.device import (
+            default_value_dtype,
+            device_put_matrix,
+        )
+        from spmv_tpu.ops import spmm
+
+        if k <= 0:
+            raise KernelError("spmm: k must be positive")
+        A = device_put_matrix(self.matrix)
+        X = jnp.ones((self.matrix.num_columns, k),
+                     default_value_dtype())
+
+        def step(V, A):
+            Y = spmm(A, V[: A.num_columns])
+            return _chain_output(Y, V)
+
+        return step, (X, A)
+
 
 class CsrKernel(_MatrixKernel):
     name = "csr"
@@ -617,6 +644,12 @@ class WellCwKernel(_MatrixKernel):
             lay.allocate(f"value{i}", lv.value.size, VAL)
             lay.allocate(f"local_index{i}", lv.local_index.size, IDX)
             lay.allocate(f"anchor{i}", lv.anchor4.size, IDX)
+        if m.pool is not None:
+            lay.allocate("pool_value", m.pool.value.size, VAL)
+            lay.allocate("pool_local_index",
+                         m.pool.local_index.size, IDX)
+            lay.allocate("pool_anchor", m.pool.anchor4.size, IDX)
+            lay.allocate("pool_rowmap", m.pool.rowmap.size, IDX)
         lay.allocate("x", m.num_columns, VAL)
         lay.allocate("y", m.num_rows, VAL)
         if m.remainder is not None:
@@ -656,6 +689,8 @@ class WellCwKernel(_MatrixKernel):
     def bytes_per_run(self) -> int:
         m = self.matrix
         b = sum(lv.value.size * (VAL + IDX) for lv in m.levels)
+        if m.pool is not None:
+            b += m.pool.value.size * (VAL + 2 * IDX)   # + rowmap
         if m.remainder is not None:
             b += m.remainder.num_entries * (VAL + IDX)
         return b + (m.num_columns + m.num_rows) * VAL
@@ -667,6 +702,8 @@ class WellCwKernel(_MatrixKernel):
             {"d": lv.d, "chunks": lv.num_chunks}
             for lv in self.matrix.levels
         ]
+        d["pool_chunks"] = (0 if self.matrix.pool is None
+                            else self.matrix.pool.num_chunks)
         d["remainder_fraction"] = self.matrix.remainder_fraction
         d["fill_ratio"] = self.matrix.fill_ratio
         return d

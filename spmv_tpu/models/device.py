@@ -48,6 +48,7 @@ __all__ = [
     "DeviceWell",
     "DeviceWellCw",
     "DeviceCwLevel",
+    "DeviceCwPool",
     "DeviceBsr",
     "device_put_matrix",
     "default_value_dtype",
@@ -610,7 +611,31 @@ class DeviceCwLevel:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "remainder"],
+    data_fields=["value", "local_index", "anchor4", "rowmap",
+                 "block_of_step"],
+    meta_fields=["d", "num_chunks", "chunks_per_step", "xr4"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceCwPool:
+    """Pooled WELL-CW tail level on device (see models.wellcw
+    CwPoolLevel): chunks shared across the 64 groups of one output
+    block; ``rowmap`` carries each cell's global group so the kernel
+    scatters per slot row instead of per chunk."""
+
+    d: int
+    num_chunks: int
+    chunks_per_step: int
+    xr4: int
+    value: jax.Array          # (chunks, 8, 128)
+    local_index: jax.Array    # (chunks, 8, 128) int32
+    anchor4: jax.Array        # (steps, 1, K) int32
+    rowmap: jax.Array         # (chunks, 8, 128) int32: global group
+    block_of_step: jax.Array  # (steps,) int32
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "pool", "remainder"],
     meta_fields=["num_rows", "num_columns", "num_entries",
                  "num_groups", "blocks_per_out"],
 )
@@ -630,6 +655,7 @@ class DeviceWellCw:
     num_groups: int
     blocks_per_out: int       # B: 8-group blocks per output tile
     levels: tuple             # of DeviceCwLevel
+    pool: Optional["DeviceCwPool"]
     remainder: Optional[DeviceCsr]
 
     format_name = "wellcw"
@@ -651,8 +677,17 @@ class DeviceWellCw:
                 f"{jnp.dtype(dtype).name}."
             )
         num_groups = m.num_groups
+        has_pool = getattr(m, "pool", None) is not None
         if blocks_per_out is None:
             blocks_per_out = max(1, min(8, num_groups // SUBLANE))
+            if has_pool:
+                # pooled chunks span POOL_GROUPS=64 groups = one
+                # 8-block output tile; the out block must cover them
+                blocks_per_out = 8
+        elif has_pool and int(blocks_per_out) != 8:
+            raise MatrixError(
+                "a pooled WELL-CW matrix requires blocks_per_out=8 "
+                "(pool spans 64 groups)")
         b_out = int(blocks_per_out)
         out_rows = SUBLANE * b_out
         num_blocks = -(-num_groups // (SUBLANE * b_out))
@@ -669,12 +704,14 @@ class DeviceWellCw:
                 np.asarray(lv.value), np.asarray(lv.local_index),
                 np.asarray(lv.anchor4), np.asarray(lv.group_of_chunk),
                 num_groups, k=k, out_rows=out_rows)
-            # stride-d table rows: windows tile the columns, so the
-            # last window's slice end 8*(win_count-1)+8 bounds every
-            # anchor4 + 8
-            win_count = max(
-                -(-m.num_columns // (1024 * lv.d)), 1)
-            xr4 = SUBLANE * win_count
+            # stride-d table rows: anchors are band-adaptive (any
+            # xt-row start), so the tables must cover both the whole
+            # column space and the largest anchor's slice end.
+            a_max = int(np.asarray(lv.anchor4).max(initial=0))
+            xr4 = round_up(
+                max(-(-m.num_columns // (LANE * lv.d)), a_max + SUBLANE),
+                SUBLANE,
+            )
             levels.append(DeviceCwLevel(
                 d=lv.d,
                 num_chunks=int(value.shape[0]),
@@ -686,6 +723,42 @@ class DeviceWellCw:
                 group_of_chunk=jnp.asarray(grp2),
                 block_of_step=jnp.asarray(blks),
             ))
+        pool = None
+        if has_pool:
+            pl_ = m.pool
+            if chunks_per_step is None:
+                avg = pl_.num_chunks / max(num_blocks, 1)
+                kp = 64 if avg >= 32 else 32 if avg >= 16 \
+                    else 16 if avg >= 8 else 8
+            else:
+                kp = int(chunks_per_step)
+            # pool_of_chunk indexes 64-group pools == output blocks,
+            # so feeding base-group ids to the padder reuses its
+            # block-run logic unchanged
+            base_grp = np.asarray(pl_.pool_of_chunk
+                                  ).astype(np.int64) * out_rows
+            value, loc, ws, _grp2, blks, rm = _pad_cw_steps(
+                np.asarray(pl_.value), np.asarray(pl_.local_index),
+                np.asarray(pl_.anchor4), base_grp,
+                num_groups, k=kp, out_rows=out_rows,
+                rowmap=np.asarray(pl_.rowmap))
+            a_max = int(np.asarray(pl_.anchor4).max(initial=0))
+            xr4 = round_up(
+                max(-(-m.num_columns // (LANE * pl_.d)),
+                    a_max + SUBLANE),
+                SUBLANE,
+            )
+            pool = DeviceCwPool(
+                d=pl_.d,
+                num_chunks=int(value.shape[0]),
+                chunks_per_step=kp,
+                xr4=int(xr4),
+                value=jnp.asarray(value, dtype=dtype),
+                local_index=jnp.asarray(loc),
+                anchor4=jnp.asarray(ws),
+                rowmap=jnp.asarray(rm),
+                block_of_step=jnp.asarray(blks),
+            )
         remainder = None
         if m.remainder is not None:
             remainder = DeviceCsr.from_host(m.remainder, dtype=dtype)
@@ -696,16 +769,19 @@ class DeviceWellCw:
             num_groups=num_groups,
             blocks_per_out=b_out,
             levels=tuple(levels),
+            pool=pool,
             remainder=remainder,
         )
 
 
-def _pad_cw_steps(value, loc, a4, grp, num_groups, k, out_rows):
+def _pad_cw_steps(value, loc, a4, grp, num_groups, k, out_rows,
+                  rowmap=None):
     """Pad each output block's chunk run to a multiple of K with inert
     chunks (value 0, anchor 0) so one grid step never spans two output
     blocks; pad chunks carry the block's last group so group ids stay
     non-decreasing.  Returns step-staged (value, loc, ws, grp2,
-    block_of_step)."""
+    block_of_step[, rowmap]) — ``rowmap`` (pooled levels) is padded
+    with each chunk's group id broadcast (inert cells scatter zero)."""
     # each output row of the (padded_groups, 128) result is one group,
     # so a block of out_rows output rows covers out_rows groups
     b_groups = out_rows
@@ -736,6 +812,12 @@ def _pad_cw_steps(value, loc, a4, grp, num_groups, k, out_rows):
     steps = total // k
     ws = a4_o.reshape(steps, 1, k)
     grp2 = grp_o.reshape(steps, 1, k)
+    if rowmap is not None:
+        rm_o = np.broadcast_to(
+            grp_o[:, None, None], (total, SUBLANE, LANE)
+        ).astype(np.int32).copy()
+        rm_o[pos] = rowmap
+        return value_o, loc_o, ws, grp2, blks, rm_o
     return value_o, loc_o, ws, grp2, blks
 
 

@@ -27,16 +27,26 @@ WELL-CW restructures both the layout and the gather (probes 27-28):
   ``xt[p][a4 : a4+8]``, followed by one lane shuffle
   (take_along_axis) and a select on the entry's phase ``p``.
   ~10x less VPU work per chunk than per-slot windows.
-- **Multi-level packing**: level 1 uses a small window (d=4) and a
-  tight multiplicity cap for dense chunks; its overflow is repacked
-  at level 2 with a wide window (d=8) and a deep cap.  Because the
-  XLA gather path runs at ~0.06 Gnnz/s on this chip (probe 28), the
-  levels are tuned so the final remainder is ~zero; anything left
-  (pathological multiplicity) goes to the CSR remainder.
+- **Band-adaptive, rank-alternating anchors** (probe 35): anchors are
+  per-chunk scalars and the chip handles unaligned dynamic sublane
+  slices, so each group's rank-k chunk anchors at its own band start
+  (even k) or end (odd k) instead of a fixed column tiling — a
+  centered band no longer straddles two windows (which halved cell
+  occupancy), and colliding entries get a decorrelated second
+  placement.  Measured rank fills on random-banded: 0.62 / 0.28, then
+  a nearly-empty tail.
+- **Pooled tail** (CwPoolLevel): everything past rank 1 goes to
+  chunks shared across the 64 groups of an output block, with a
+  per-cell row map freeing the group constraint; the kernel scatters
+  each slot row separately there.  The scattered tail packs at ~5x
+  the fill per-group chunks manage.  Because the XLA gather path runs
+  at ~0.06 Gnnz/s on this chip (probe 28), the pool cap is deep so
+  the CSR remainder stays ~zero.
 
-Measured (probes 27/28, random banded n=1M bw=4096, 16.7M nnz, the
-VERDICT #4 cliff case): 15.2 Gnnz/s at K=64/B=8 vs 4.8 Gnnz/s for
-per-slot WELL with 31% spill in round 1.
+Measured (honest long-chain timing, random banded n=1M bw=4096
+8 nnz/row, the VERDICT #4 cliff case): fill 0.40 (tiled-window round-1
+scheme: 0.13), 14.2 Gnnz/s at 588 us vs 5.6 Gnnz/s for the round-1
+packing and 0.06 Gnnz/s for raw CSR — the cliff is gone.
 """
 
 from __future__ import annotations
@@ -51,20 +61,49 @@ from spmv_tpu.io.matrix_market import MatrixMarket, VALUE_DTYPE
 from spmv_tpu.models._convert import sorted_entries_0based
 from spmv_tpu.models.csr import CsrMatrix
 
-__all__ = ["WellCwMatrix", "CwLevel", "DEFAULT_LEVELS"]
+__all__ = ["WellCwMatrix", "CwLevel", "CwPoolLevel", "DEFAULT_LEVELS", "POOL_GROUPS"]
 
 LANE = 128
 SUBLANE = 8
 GROUP_ROWS = 128
 
-# (d, multiplicity cap, min chunk population) per level.  Level 1:
-# narrow window, dense chunks; level 2: wide window, deep cap and no
-# pruning so the remainder stays ~zero (probe 28: the XLA remainder
-# path costs ~17 ns/entry — 100x a packed entry).
+# (d, multiplicity cap, min chunk population) per level.  With
+# band-adaptive anchors, per-group ranks 0-1 hold ~90% of a scattered
+# matrix's entries at fill ~0.45 (measured: rank fills 0.62 / 0.28,
+# then a nearly-empty tail); everything deeper goes to the POOLED
+# level (chunks shared across the 64 groups of an output block, cells
+# freed by a per-cell row map), which packs the scattered tail at
+# ~0.5+ fill where per-group chunks manage ~0.07.
 DEFAULT_LEVELS: Tuple[Tuple[int, int, float], ...] = (
-    (4, 6, 0.05),
-    (8, 64, 0.0),
+    (4, 2, 0.0),
 )
+
+POOL_GROUPS = 64          # groups pooled per chunk = one output block
+                          # (device uses blocks_per_out=8 when pooled)
+
+
+@dataclasses.dataclass
+class CwPoolLevel:
+    """Pooled tail level: chunks shared across POOL_GROUPS groups.
+
+    A cell (slot, lane) of a pooled chunk may hold an entry of ANY row
+    ``r`` with ``r % 128 == lane`` inside the chunk's pool;
+    ``rowmap[c, s, l]`` records the entry's global group.  The kernel
+    scatters each slot row separately (8 masked adds per chunk instead
+    of one), which only pays on this small level; in exchange the
+    scattered tail packs at ~0.5+ fill instead of ~0.07.
+    """
+
+    d: int
+    value: np.ndarray           # (chunks, 8, 128)
+    local_index: np.ndarray     # (chunks, 8, 128) int32: w*128 + lane
+    anchor4: np.ndarray         # (chunks,) int32
+    rowmap: np.ndarray          # (chunks, 8, 128) int32: global group
+    pool_of_chunk: np.ndarray   # (chunks,) int32, non-decreasing
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.value.shape[0])
 
 
 @dataclasses.dataclass
@@ -93,31 +132,65 @@ def _pack_level(
     cap: int,
     min_pop: float,
 ) -> Tuple[CwLevel, np.ndarray]:
-    """Pack entries into chunk-window form; returns (level, spilled)
-    where ``spilled`` indexes the entries that did not fit (rank >=
-    cap, or rank >= 1 in an overflow chunk filled below ``min_pop``)."""
-    wincols = 1024 * d
+    """Pack entries into chunk-window form; returns (level, spilled).
+
+    Band-adaptive, rank-alternating anchors (probe 35): the kernel
+    takes an arbitrary per-chunk anchor (and the chip handles
+    unaligned dynamic sublane slices), so windows need not tile the
+    column space.  Each group's rank-k chunk anchors at the group's
+    column-range *start* for even k and *end* for odd k:
+
+    - a centered band never straddles two fixed windows (the tiled
+      scheme halved cell occupancy exactly that way), and
+    - entries near the top of a wider-than-window band, or colliding
+      in a cell, get a decorrelated second placement at the next rank
+      instead of stacking at the same cell forever.
+
+    An entry is placed at the first rank whose window contains it and
+    whose (slot, lane) cell is free; ``spilled`` returns the rest
+    (rank >= cap, or rank >= 1 in a chunk filled below ``min_pop``).
+    """
+    wd = 8 * d                                 # window rows (x2d)
     g = rows >> 7
-    win = cols // wincols
-    w = (cols >> 7) - (win << 3) * d          # window-row offset [0, 8d)
-    s = w // d
+    x2drow = cols >> 7
     lane = rows & (GROUP_ROWS - 1)
-    nwin = num_columns // wincols + 2
-    key = ((g * nwin + win) * SUBLANE + s) * GROUP_ROWS + lane
-    order = np.argsort(key, kind="stable")
-    ks = key[order]
-    newgrp = np.empty(ks.size, dtype=bool)
-    if ks.size:
-        newgrp[0] = True
-        np.not_equal(ks[1:], ks[:-1], out=newgrp[1:])
-    idx = np.arange(ks.size)
-    start = idx[newgrp][np.cumsum(newgrp) - 1] if ks.size else idx
-    rank = np.empty(ks.size, dtype=np.int64)
-    rank[order] = idx - start
-    keep = rank < cap
+    ng = max(-(-num_rows // GROUP_ROWS), 1)
+
+    # per-group column range, in xt-row (= d x2d-rows) units
+    glo = np.full(ng, np.iinfo(np.int64).max, dtype=np.int64)
+    ghi = np.full(ng, -1, dtype=np.int64)
+    np.minimum.at(glo, g, x2drow)
+    np.maximum.at(ghi, g, x2drow)
+    a_low = np.maximum(glo // d, 0)
+    a_high = np.maximum(-(-(ghi + 1) // d) - SUBLANE, 0)
+    a_low = np.where(ghi < 0, 0, a_low)
+    a_high = np.where(ghi < 0, 0, a_high)
+
+    placed_rank = np.full(rows.size, -1, dtype=np.int64)
+    anchors = np.empty((cap, ng), dtype=np.int64)
+    idx_all = np.arange(rows.size)
+    for k in range(cap):
+        a4 = a_low if (k % 2 == 0) else a_high
+        anchors[k] = a4
+        w = x2drow - a4[g] * d
+        cand = (placed_rank < 0) & (w >= 0) & (w < wd)
+        ci = idx_all[cand]
+        if ci.size == 0:
+            if not (placed_rank < 0).any():
+                break
+            continue
+        cell = ((g[ci] * SUBLANE) + w[ci] // d) * GROUP_ROWS + lane[ci]
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        first = np.empty(cs.size, dtype=bool)
+        first[0] = True
+        np.not_equal(cs[1:], cs[:-1], out=first[1:])
+        placed_rank[ci[order[first]]] = k
+
+    keep = placed_rank >= 0
 
     def enumerate_chunks(keep):
-        ckey = (g[keep] * nwin + win[keep]) * cap + rank[keep]
+        ckey = g[keep] * cap + placed_rank[keep]
         corder = np.argsort(ckey, kind="stable")
         cs = ckey[corder]
         cnew = np.empty(cs.size, dtype=bool)
@@ -126,33 +199,137 @@ def _pack_level(
             np.not_equal(cs[1:], cs[:-1], out=cnew[1:])
         chunk_of = np.empty(cs.size, dtype=np.int64)
         chunk_of[corder] = np.cumsum(cnew) - 1
-        return chunk_of, (int(cnew.sum()) if cs.size else 0)
+        # the (group, rank) key of each chunk, for anchor lookup
+        ckeys = cs[cnew] if cs.size else cs
+        return chunk_of, (int(cnew.sum()) if cs.size else 0), ckeys
 
-    chunk_of, n_chunks = enumerate_chunks(keep)
+    chunk_of, n_chunks, ckeys = enumerate_chunks(keep)
     if min_pop > 0.0 and n_chunks:
         # prune near-empty overflow chunks (a single high-multiplicity
         # cell would otherwise force a whole ~empty chunk)
         pop = np.bincount(chunk_of, minlength=n_chunks)
-        crank = np.zeros(n_chunks, dtype=np.int64)
-        crank[chunk_of] = rank[keep]
-        prune = (pop < min_pop * SUBLANE * GROUP_ROWS) & (crank > 0)
+        prune = (pop < min_pop * SUBLANE * GROUP_ROWS) & (
+            ckeys % cap > 0
+        )
         if prune.any():
             keep_idx = np.nonzero(keep)[0]
-            keep[keep_idx[prune[chunk_of]]] = False
-            chunk_of, n_chunks = enumerate_chunks(keep)
+            placed_rank[keep_idx[prune[chunk_of]]] = -1
+            keep = placed_rank >= 0
+            chunk_of, n_chunks, ckeys = enumerate_chunks(keep)
 
     value = np.zeros((n_chunks, SUBLANE, GROUP_ROWS), dtype=VALUE_DTYPE)
     loc = np.zeros((n_chunks, SUBLANE, GROUP_ROWS), dtype=np.int32)
-    anchor4 = np.zeros(n_chunks, dtype=np.int32)
-    grp = np.zeros(n_chunks, dtype=np.int32)
-    value[chunk_of, s[keep], lane[keep]] = vals[keep]
-    loc[chunk_of, s[keep], lane[keep]] = (
-        (w[keep] << 7) | (cols[keep] & (LANE - 1))
+    kg = keep
+    a4_of_entry = anchors[placed_rank[kg], g[kg]]
+    w = x2drow[kg] - a4_of_entry * d
+    s = w // d
+    value[chunk_of, s, lane[kg]] = vals[kg]
+    loc[chunk_of, s, lane[kg]] = (
+        (w << 7) | (cols[kg] & (LANE - 1))
     ).astype(np.int32)
-    anchor4[chunk_of] = (win[keep] << 3).astype(np.int32)
-    grp[chunk_of] = g[keep].astype(np.int32)
+    anchor4 = anchors[ckeys % cap, ckeys // cap].astype(np.int32)
+    grp = (ckeys // cap).astype(np.int32)
     level = CwLevel(d=d, value=value, local_index=loc, anchor4=anchor4,
                     group_of_chunk=grp)
+    return level, np.nonzero(~keep)[0]
+
+
+def _pack_pool(
+    num_rows: int,
+    num_columns: int,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    d: int,
+    cap: int,
+) -> Tuple[Optional[CwPoolLevel], np.ndarray]:
+    """Pack tail entries into pooled chunks (see CwPoolLevel).
+
+    Same rank-with-anchor placement as :func:`_pack_level`, but cells
+    are pooled across POOL_GROUPS groups (the per-cell row map frees
+    the group constraint) and the anchor ladder steps through the
+    pool's wider column span (pool bands span several windows)."""
+    if rows.size == 0:
+        return None, np.zeros(0, dtype=np.int64)
+    wd = 8 * d
+    g = rows >> 7
+    pool = g // POOL_GROUPS
+    x2drow = cols >> 7
+    lane = rows & (GROUP_ROWS - 1)
+    npool = max(-(-max(num_rows, 1) // (GROUP_ROWS * POOL_GROUPS)), 1)
+
+    big = np.iinfo(np.int64).max
+    glo = np.full(npool, big, dtype=np.int64)
+    ghi = np.full(npool, -1, dtype=np.int64)
+    np.minimum.at(glo, pool, x2drow)
+    np.maximum.at(ghi, pool, x2drow)
+    a_low = np.where(ghi < 0, 0, np.maximum(glo // d, 0))
+    a_high = np.where(
+        ghi < 0, 0, np.maximum(-(-(ghi + 1) // d) - SUBLANE, 0))
+    a_high = np.maximum(a_high, a_low)
+    npos = (a_high - a_low + 7) // SUBLANE + 1
+
+    placed_rank = np.full(rows.size, -1, dtype=np.int64)
+    anchors = np.empty((cap, npool), dtype=np.int64)
+    idx_all = np.arange(rows.size)
+    for k in range(cap):
+        a4 = np.minimum(a_low + SUBLANE * (k % npos), a_high)
+        anchors[k] = a4
+        w = x2drow - a4[pool] * d
+        cand = (placed_rank < 0) & (w >= 0) & (w < wd)
+        ci = idx_all[cand]
+        if not (placed_rank < 0).any():
+            break
+        if ci.size == 0:
+            if k >= int(npos.max()):
+                break
+            continue
+        cell = ((pool[ci] * SUBLANE) + w[ci] // d) * GROUP_ROWS \
+            + lane[ci]
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        first = np.empty(cs.size, dtype=bool)
+        first[0] = True
+        np.not_equal(cs[1:], cs[:-1], out=first[1:])
+        placed_rank[ci[order[first]]] = k
+
+    keep = placed_rank >= 0
+    if not keep.any():
+        return None, idx_all
+
+    ckey = pool[keep] * cap + placed_rank[keep]
+    corder = np.argsort(ckey, kind="stable")
+    cs = ckey[corder]
+    cnew = np.empty(cs.size, dtype=bool)
+    cnew[0] = True
+    np.not_equal(cs[1:], cs[:-1], out=cnew[1:])
+    chunk_of = np.empty(cs.size, dtype=np.int64)
+    chunk_of[corder] = np.cumsum(cnew) - 1
+    ckeys = cs[cnew]
+    n_chunks = int(cnew.sum())
+
+    value = np.zeros((n_chunks, SUBLANE, GROUP_ROWS), dtype=VALUE_DTYPE)
+    loc = np.zeros((n_chunks, SUBLANE, GROUP_ROWS), dtype=np.int32)
+    pool_of_chunk = (ckeys // cap).astype(np.int32)
+    anchor4 = anchors[ckeys % cap, ckeys // cap].astype(np.int32)
+    # padding cells point at the pool's base group (value 0 adds 0)
+    rowmap = np.broadcast_to(
+        (pool_of_chunk * POOL_GROUPS)[:, None, None],
+        (n_chunks, SUBLANE, GROUP_ROWS),
+    ).astype(np.int32).copy()
+
+    kg = keep
+    a4_of_entry = anchors[placed_rank[kg], pool[kg]]
+    w = x2drow[kg] - a4_of_entry * d
+    s = w // d
+    value[chunk_of, s, lane[kg]] = vals[kg]
+    loc[chunk_of, s, lane[kg]] = (
+        (w << 7) | (cols[kg] & (LANE - 1))
+    ).astype(np.int32)
+    rowmap[chunk_of, s, lane[kg]] = g[kg].astype(np.int32)
+    level = CwPoolLevel(d=d, value=value, local_index=loc,
+                        anchor4=anchor4, rowmap=rowmap,
+                        pool_of_chunk=pool_of_chunk)
     return level, np.nonzero(~keep)[0]
 
 
@@ -163,6 +340,7 @@ class WellCwMatrix:
     num_entries: int
     levels: Tuple[CwLevel, ...]
     remainder: Optional[CsrMatrix]   # pathological multiplicity tail
+    pool: Optional[CwPoolLevel] = None
 
     format_name = "wellcw"
 
@@ -172,16 +350,18 @@ class WellCwMatrix:
         cls,
         mm: MatrixMarket,
         levels: Sequence[Tuple[int, int, float]] = DEFAULT_LEVELS,
+        pool_cap: int = 256,
     ) -> "WellCwMatrix":
         rows, cols, vals, _ = sorted_entries_0based(mm)
         return cls._build(mm.num_rows, mm.num_columns, rows, cols,
-                          vals, levels)
+                          vals, levels, pool_cap=pool_cap)
 
     @classmethod
     def from_csr(
         cls,
         m: CsrMatrix,
         levels: Sequence[Tuple[int, int, float]] = DEFAULT_LEVELS,
+        pool_cap: int = 256,
     ) -> "WellCwMatrix":
         if int(m.row_ptr[-1]) != m.num_entries:
             raise MatrixError(
@@ -190,10 +370,12 @@ class WellCwMatrix:
             np.arange(m.num_rows, dtype=np.int64), np.diff(m.row_ptr))
         return cls._build(
             m.num_rows, m.num_columns, rows,
-            m.column_index.astype(np.int64), m.value, levels)
+            m.column_index.astype(np.int64), m.value, levels,
+            pool_cap=pool_cap)
 
     @classmethod
-    def _build(cls, num_rows, num_columns, rows, cols, vals, levels):
+    def _build(cls, num_rows, num_columns, rows, cols, vals, levels,
+               pool_cap=256):
         if not levels:
             raise MatrixError("WellCwMatrix needs at least one level")
         rows = np.asarray(rows, dtype=np.int64)
@@ -212,6 +394,12 @@ class WellCwMatrix:
             cur = cur[spilled]
             if cur.size == 0:
                 break
+        pool = None
+        if cur.size and pool_cap > 0:
+            pool, spilled = _pack_pool(
+                num_rows, num_columns, rows[cur], cols[cur], vals[cur],
+                d=4, cap=pool_cap)
+            cur = cur[spilled]
         remainder = None
         if cur.size:
             order = np.argsort(rows[cur], kind="stable")
@@ -225,7 +413,7 @@ class WellCwMatrix:
                 row_ptr=rp, column_index=c.astype(np.int32), value=v)
         return cls(num_rows=num_rows, num_columns=num_columns,
                    num_entries=int(rows.size), levels=tuple(built),
-                   remainder=remainder)
+                   remainder=remainder, pool=pool)
 
     # ------------------------------------------------------------------
     @property
@@ -234,7 +422,9 @@ class WellCwMatrix:
 
     @property
     def num_chunks(self) -> int:
-        return sum(lv.num_chunks for lv in self.levels)
+        return sum(lv.num_chunks for lv in self.levels) + (
+            self.pool.num_chunks if self.pool is not None else 0
+        )
 
     @property
     def num_remainder(self) -> int:
@@ -247,6 +437,8 @@ class WellCwMatrix:
     @property
     def fill_ratio(self) -> float:
         cells = sum(lv.value.size for lv in self.levels)
+        if self.pool is not None:
+            cells += self.pool.value.size
         return (self.num_entries - self.num_remainder) / max(cells, 1)
 
     def memory_usage_bytes(self) -> int:
@@ -254,6 +446,11 @@ class WellCwMatrix:
         for lv in self.levels:
             total += lv.value.nbytes + lv.local_index.nbytes
             total += lv.anchor4.nbytes + lv.group_of_chunk.nbytes
+        if self.pool is not None:
+            p = self.pool
+            total += (p.value.nbytes + p.local_index.nbytes
+                      + p.anchor4.nbytes + p.rowmap.nbytes
+                      + p.pool_of_chunk.nbytes)
         if self.remainder is not None:
             total += self.remainder.memory_usage_bytes()
         return total
@@ -276,6 +473,16 @@ class WellCwMatrix:
             row = lv.group_of_chunk[t].astype(np.int64) * GROUP_ROWS \
                 + lane
             np.add.at(y, row, lv.value[t, s, lane] * x[col])
+        if self.pool is not None:
+            p = self.pool
+            t, s, lane = np.nonzero(p.value)
+            if t.size:
+                loc = p.local_index[t, s, lane].astype(np.int64)
+                col = ((p.anchor4[t].astype(np.int64) * p.d
+                        + (loc >> 7)) << 7) | (loc & (LANE - 1))
+                row = p.rowmap[t, s, lane].astype(np.int64) \
+                    * GROUP_ROWS + lane
+                np.add.at(y, row, p.value[t, s, lane] * x[col])
         if self.remainder is not None:
             y += self.remainder.spmv(x)
         return y

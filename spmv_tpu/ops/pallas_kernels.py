@@ -1275,9 +1275,94 @@ def _cw_level_call(lvl, xt, padded_groups, out_rows, interpret):
       xt, lvl.value, lvl.local_index)
 
 
+def _cw_pool_kernel(blk_ref, ws_ref, x_ref, v_ref, l_ref, rm_ref,
+                    y_ref, *, d, k, out_rows, dtype):
+    """Pooled-tail CW kernel: same stride-d gather as _cw_kernel, but
+    each slot row scatters independently to the row named by its
+    rowmap cell (minus the block base) — chunks serve all 64 groups of
+    the output block, which is what lets the scattered tail pack
+    densely (models.wellcw CwPoolLevel)."""
+    i = pl.program_id(0)
+    first = jnp.logical_or(
+        i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
+    )
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANE), 0)
+    base = blk_ref[i] * out_rows
+    acc_blk = jnp.zeros((out_rows, LANE), dtype=dtype)
+    for kk in range(k):
+        a4 = ws_ref[0, 0, kk]
+        locv = l_ref[kk]
+        llane = locv & (LANE - 1)
+        sel = (locv >> 7) & (d - 1)
+        val = v_ref[kk]
+        acc = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+        for p in range(d):
+            T = x_ref[p, pl.ds(a4, SUBLANE), :]
+            gthr = jnp.take_along_axis(T, llane, axis=1)
+            acc = acc + jnp.where(sel == p, val * gthr,
+                                  jnp.zeros_like(val))
+        rm = rm_ref[kk] - base                       # (8, LANE)
+        for s in range(SUBLANE):
+            acc_blk = acc_blk + jnp.where(
+                row_iota == rm[s][None, :],
+                jnp.broadcast_to(acc[s][None, :], (out_rows, LANE)),
+                jnp.zeros((out_rows, LANE), dtype=dtype),
+            )
+
+    @pl.when(first)
+    def _():
+        y_ref[:] = acc_blk
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        y_ref[:] += acc_blk
+
+
+def _cw_pool_call(pool, xt, padded_groups, out_rows, interpret):
+    k = pool.chunks_per_step
+    steps = pool.num_chunks // k
+    kernel = functools.partial(
+        _cw_pool_kernel, d=pool.d, k=k, out_rows=out_rows,
+        dtype=pool.value.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((1, 1, k), lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, SUBLANE, LANE),
+                             lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, SUBLANE, LANE),
+                             lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, SUBLANE, LANE),
+                             lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (out_rows, LANE), lambda i, blk: (blk[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_groups, LANE), pool.value.dtype
+        ),
+        interpret=interpret,
+    )(pool.block_of_step, pool.anchor4,
+      xt, pool.value, pool.local_index, pool.rowmap)
+
+
 def _cw_vmem_guard(A, nvec=1):
+    sources = [(lvl.xr4, lvl.d) for lvl in A.levels]
+    if A.pool is not None:
+        sources.append((A.pool.xr4, A.pool.d))
     xbytes = max(
-        lvl.xr4 * lvl.d for lvl in A.levels
+        xr4 * d for xr4, d in sources
     ) * LANE * nvec * A.levels[0].value.dtype.itemsize
     if xbytes > 8 * 1024 * 1024:
         raise MatrixError(
@@ -1299,6 +1384,10 @@ def wellcw_spmv_padded(A, x, interpret: bool = False) -> jax.Array:
     for lvl in A.levels:
         y2d = _cw_level_call(lvl, _cw_tables(lvl, xf), padded_groups,
                              out_rows, interpret)
+        y = y2d if y is None else y + y2d
+    if A.pool is not None:
+        y2d = _cw_pool_call(A.pool, _cw_tables(A.pool, xf),
+                            padded_groups, out_rows, interpret)
         y = y2d if y is None else y + y2d
     return y.reshape(-1)
 
@@ -1356,6 +1445,93 @@ def _cw_spmm_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref,
         y_ref[:] += acc_blk
 
 
+def _cw_pool_spmm_kernel(blk_ref, ws_ref, x_ref, v_ref, l_ref,
+                         rm_ref, y_ref, *, d, k, nvec, out_rows,
+                         dtype):
+    i = pl.program_id(0)
+    first = jnp.logical_or(
+        i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
+    )
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (out_rows, nvec, LANE), 0
+    )
+    base = blk_ref[i] * out_rows
+    acc_blk = jnp.zeros((out_rows, nvec, LANE), dtype=dtype)
+    for kk in range(k):
+        a4 = ws_ref[0, 0, kk]
+        locv = l_ref[kk]
+        llane = jnp.broadcast_to(
+            (locv & (LANE - 1))[:, None, :], (SUBLANE, nvec, LANE)
+        )
+        sel = jnp.broadcast_to(
+            ((locv >> 7) & (d - 1))[:, None, :], (SUBLANE, nvec, LANE)
+        )
+        val = v_ref[kk][:, None, :]
+        acc = jnp.zeros((SUBLANE, nvec, LANE), dtype=dtype)
+        for p in range(d):
+            T = x_ref[p, pl.ds(a4, SUBLANE), :, :]
+            gthr = jnp.take_along_axis(T, llane, axis=2)
+            acc = acc + jnp.where(sel == p, val * gthr,
+                                  jnp.zeros_like(gthr))
+        rm = rm_ref[kk] - base                      # (8, LANE)
+        for sl in range(SUBLANE):
+            acc_blk = acc_blk + jnp.where(
+                row_iota == rm[sl][None, None, :],
+                jnp.broadcast_to(acc[sl][None],
+                                 (out_rows, nvec, LANE)),
+                jnp.zeros((out_rows, nvec, LANE), dtype=dtype),
+            )
+
+    @pl.when(first)
+    def _():
+        y_ref[:] = acc_blk
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        y_ref[:] += acc_blk
+
+
+def _cw_pool_spmm_call(pool, xt, padded_groups, out_rows, nvec,
+                       interpret):
+    k = pool.chunks_per_step
+    steps = pool.num_chunks // k
+    kernel = functools.partial(
+        _cw_pool_spmm_kernel, d=pool.d, k=k, nvec=nvec,
+        out_rows=out_rows, dtype=pool.value.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((1, 1, k), lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, SUBLANE, LANE),
+                             lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, SUBLANE, LANE),
+                             lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, SUBLANE, LANE),
+                             lambda i, blk: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (out_rows, nvec, LANE),
+                lambda i, blk: (blk[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_groups, nvec, LANE), pool.value.dtype
+        ),
+        interpret=interpret,
+    )(pool.block_of_step, pool.anchor4,
+      xt, pool.value, pool.local_index, pool.rowmap)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
     nvec = X.shape[1]
@@ -1406,6 +1582,15 @@ def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
             interpret=interpret,
         )(lvl.block_of_step, lvl.anchor4, lvl.group_of_chunk,
           xt, lvl.value, lvl.local_index)
+        y = y3d if y is None else y + y3d
+    if A.pool is not None:
+        d, xr4 = A.pool.d, A.pool.xr4
+        x3d = jnp.pad(
+            Xf, ((0, xr4 * d * LANE - X.shape[0]), (0, 0))
+        ).reshape(xr4 * d, LANE, nvec).transpose(0, 2, 1)
+        xt = jnp.stack([x3d[p::d] for p in range(d)])
+        y3d = _cw_pool_spmm_call(A.pool, xt, padded_groups, out_rows,
+                                 nvec, interpret)
         y = y3d if y is None else y + y3d
     return y.transpose(0, 2, 1).reshape(-1, nvec)
 

@@ -140,6 +140,14 @@ def _wellcw_padded(A: DeviceWellCw, x: jax.Array) -> jax.Array:
             num_segments=num_groups,
             indices_are_sorted=True,
         )
+    if A.pool is not None:
+        pv = A.pool
+        prod = _wellcw_gathered(pv, xf)             # (chunks, 8, LANE)
+        lanes = jnp.arange(LANE, dtype=jnp.int32)
+        flat = pv.rowmap * LANE + lanes             # (chunks, 8, LANE)
+        y = y.reshape(-1).at[flat.reshape(-1)].add(
+            prod.reshape(-1), mode="drop"
+        ).reshape(num_groups, LANE)
     y = y.reshape(-1)
     if A.remainder is not None:
         sp = _csr_padded(A.remainder, xf)
@@ -278,6 +286,20 @@ def spmm(A, X: jax.Array) -> jax.Array:
                 num_segments=A.num_groups,
                 indices_are_sorted=True,
             )
+        if A.pool is not None:
+            pv = A.pool
+            a4 = pv.anchor4.reshape(-1)
+            loc = pv.local_index
+            xcol = (a4[:, None, None] * pv.d + (loc >> 7)) * LANE + (
+                loc & (LANE - 1)
+            )
+            gathered = jnp.take(xf, xcol, axis=0, mode="clip")
+            prod = pv.value[..., None] * gathered  # (c, 8, LANE, k)
+            lanes = jnp.arange(LANE, dtype=jnp.int32)
+            flat = (pv.rowmap * LANE + lanes).reshape(-1)
+            y = y.reshape(-1, X.shape[1]).at[flat].add(
+                prod.reshape(-1, X.shape[1]), mode="drop"
+            ).reshape(A.num_groups, LANE, X.shape[1])
         y = y.reshape(-1, X.shape[1])[: A.num_rows]
         if A.remainder is not None:
             y = y + spmm(A.remainder, xf)[: A.num_rows]

@@ -594,6 +594,57 @@ def wellcw_spmv_refstring(
         parts_a.append(addrs)
         parts_n.append(numas)
 
+    if getattr(m, "pool", None) is not None:
+        # pooled tail chunks (models.wellcw CwPoolLevel): one extra
+        # rowmap read per cell, and y refs go to the rowmap's rows
+        pv = m.pool
+        val_a = layout["pool_value"]
+        loc_a = layout["pool_local_index"]
+        anc_a = layout["pool_anchor"]
+        rm_a = layout["pool_rowmap"]
+        lo_c, hi_c = _equal_block(pv.num_chunks, num_threads, thread)
+        chunks = hi_c - lo_c
+        per_chunk = 1 + 5 * S * R
+        addrs = np.empty(chunks * per_chunk, dtype=np.uint64)
+        numas = np.full(addrs.size, numa_domains[thread],
+                        dtype=np.int32)
+        if chunks:
+            c = np.arange(lo_c, hi_c, dtype=np.int64)
+            grid_a = addrs.reshape(chunks, per_chunk)
+            grid_n = numas.reshape(chunks, per_chunk)
+            grid_a[:, 0] = anc_a.addresses(c)
+            flat = (
+                c[:, None] * (S * R)
+                + np.arange(S * R, dtype=np.int64)[None, :]
+            )
+            body = grid_a[:, 1:1 + 4 * S * R].reshape(chunks, S * R, 4)
+            body[:, :, 0] = loc_a.addresses(flat)
+            body[:, :, 1] = rm_a.addresses(flat)
+            body[:, :, 2] = val_a.addresses(flat)
+            a4 = np.asarray(pv.anchor4, dtype=np.int64)[lo_c:hi_c]
+            loc = np.asarray(
+                pv.local_index, dtype=np.int64
+            )[lo_c:hi_c].reshape(chunks, S * R)
+            xcol = (a4[:, None] * pv.d + (loc >> 7)) * R + (
+                loc & (R - 1)
+            )
+            xcol = np.clip(xcol, 0, max(m.num_columns - 1, 0))
+            body[:, :, 3] = x_a.addresses(xcol)
+            grid_n[:, 1:1 + 4 * S * R].reshape(
+                chunks, S * R, 4
+            )[:, :, 3] = numa_domains[
+                thread_of_index(x_a, xcol, num_threads, page_size)
+            ]
+            rm = np.asarray(
+                pv.rowmap, dtype=np.int64
+            )[lo_c:hi_c].reshape(chunks, S * R)
+            lane = np.arange(S * R, dtype=np.int64) % R
+            y_idx = np.clip(rm * R + lane[None, :], 0,
+                            max(m.num_rows - 1, 0))
+            grid_a[:, 1 + 4 * S * R:] = y_a.addresses(y_idx)
+        parts_a.append(addrs)
+        parts_n.append(numas)
+
     if m.remainder is not None:
         rem_layout = _AliasLayout(layout, {
             "row_ptr": "rem_row_ptr",

@@ -28,6 +28,9 @@ def profiling_report(
     trace_config=None,
     jax_profile_dir: Optional[str] = None,
     machine=None,
+    op_info: Optional[dict] = None,
+    flops_per_run: Optional[int] = None,
+    bytes_per_run: Optional[int] = None,
 ) -> dict:
     """Assemble the profiling JSON document.
 
@@ -41,12 +44,15 @@ def profiling_report(
     from spmv_tpu.perfmodel.tiling import TPU_V5E, roofline_time
 
     machine = machine or TPU_V5E
-    roof = roofline_time(
-        kernel.bytes_per_run(), kernel.flops_per_run(), machine=machine
-    )
+    flops = (flops_per_run if flops_per_run is not None
+             else kernel.flops_per_run())
+    nbytes = (bytes_per_run if bytes_per_run is not None
+              else kernel.bytes_per_run())
+    roof = roofline_time(nbytes, flops, machine=machine)
     dev = jax.devices()[0]
     t = seconds_per_iteration
     return {
+        "op": op_info or {"kind": "spmv"},
         "trace_config": (
             trace_config.to_json() if trace_config is not None else None
         ),
@@ -71,8 +77,8 @@ def profiling_report(
         "device_seconds_per_iteration": t,
         "roofline": roof,
         "achieved": {
-            "gflop_per_s": kernel.flops_per_run() / t / 1e9,
-            "gb_per_s_modeled": kernel.bytes_per_run() / t / 1e9,
+            "gflop_per_s": flops / t / 1e9,
+            "gb_per_s_modeled": nbytes / t / 1e9,
             "fraction_of_roofline": roof["time_roofline_s"] / t,
         },
     }

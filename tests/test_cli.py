@@ -198,3 +198,46 @@ def test_auto_format_cli(matrix_file, config_file):
     # --reorder conflicts with auto
     assert _run(["--matrix", matrix_file, "-s", "auto",
                  "--reorder", "rcm", "--trace-config", config_file])[0] == 1
+
+
+def test_cg_jacobi_mode(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--cg", "200", "--cg-tol", "1e-10",
+         "--precondition", "jacobi"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["cg"]["preconditioner"] == "jacobi"
+    assert doc["cg"]["residual_norm"] < 1e-6
+    assert doc["cg"]["solution_rms_error_vs_ones"] < 1e-5
+
+
+def test_profile_spmm_mode(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--profile", "2", "--spmm", "3"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["op"] == {"kind": "spmm", "k": 3}
+    # k products per run: flops scale with k
+    assert doc["roofline"]["flops"] > 0
+    assert doc["achieved"]["gflop_per_s"] > 0
+
+
+def test_profile_spmm_rejects_triad():
+    assert _run(["--triad", "64", "--profile", "2", "--spmm", "2"])[0] == 1
+
+
+def test_list_devices_introspection():
+    rc, text = _run(["--list-devices"])
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["device_count"] >= 1
+    assert doc["jax_version"]
+    caps = doc["profiler_capabilities"]
+    assert caps["trace_capture"] and not caps["hardware_counters"]
+    v5e = next(m for m in doc["machine_models"]
+               if m["name"] == "tpu-v5e")
+    assert v5e["resident_bytes"] == 96 * 1024**2

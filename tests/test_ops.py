@@ -120,3 +120,58 @@ def test_spmm_dia_and_well_match_host():
         Y = np.asarray(spmm(A, jnp.asarray(X)))
         want = np.stack([host.spmv(X[:, j]) for j in range(5)], axis=1)
         np.testing.assert_allclose(Y, want, rtol=1e-12)
+
+
+def test_preconditioned_cg_jacobi_poisson():
+    from spmv_tpu.ops import (
+        extract_diagonal,
+        jacobi_preconditioner,
+        preconditioned_conjugate_gradient,
+    )
+
+    mm = poisson2d(16, 16)
+    host = CsrMatrix.from_matrix_market(mm)
+    _, dev = _make(mm, "csr")
+    rng = np.random.default_rng(5)
+    x_true = rng.standard_normal(mm.num_rows)
+    b = host.spmv(x_true)
+
+    diag = extract_diagonal(host)
+    minv = jacobi_preconditioner(jnp.asarray(diag))
+    res = jax.jit(
+        lambda b: preconditioned_conjugate_gradient(
+            lambda v: spmv(dev, v), b, minv, tol=1e-12,
+            max_iterations=2000,
+        )
+    )(jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_true,
+                               rtol=1e-6, atol=1e-8)
+    # Jacobi on the constant-diagonal Poisson matrix is a pure scale:
+    # same Krylov space, so it should not need MORE iterations than
+    # plain CG.
+    plain = jax.jit(
+        lambda b: conjugate_gradient(
+            lambda v: spmv(dev, v), b, tol=1e-12, max_iterations=2000
+        )
+    )(jnp.asarray(b))
+    assert int(res.iterations) <= int(plain.iterations) + 1
+
+
+def test_extract_diagonal_formats():
+    from spmv_tpu.models import DiaMatrix
+    from spmv_tpu.ops import extract_diagonal
+
+    mm = poisson2d(5, 5)
+    want = np.full(mm.num_rows, 4.0)
+    for m in (CsrMatrix.from_matrix_market(mm),
+              DiaMatrix.from_matrix_market(mm), mm):
+        got = extract_diagonal(m)
+        np.testing.assert_allclose(got, want)
+
+
+def test_jacobi_preconditioner_zero_diag_passthrough():
+    from spmv_tpu.ops import jacobi_preconditioner
+
+    minv = jacobi_preconditioner(jnp.asarray([2.0, 0.0, 4.0]))
+    out = np.asarray(minv(jnp.asarray([2.0, 3.0, 8.0])))
+    np.testing.assert_allclose(out, [1.0, 3.0, 2.0])

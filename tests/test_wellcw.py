@@ -44,10 +44,12 @@ def test_host_matches_dense(name, mm):
     x = np.random.default_rng(0).standard_normal(mm.num_columns)
     np.testing.assert_allclose(w.spmv(x), dense @ x, atol=1e-9)
     assert w.num_entries == mm.num_entries
-    # accounting: packed cells + remainder cover every entry
+    # accounting: packed cells (+ pool + remainder) cover every entry
     packed = sum(
         int((lv.value != 0).sum()) for lv in w.levels
     )
+    if w.pool is not None:
+        packed += int((w.pool.value != 0).sum())
     assert packed + w.num_remainder >= np.count_nonzero(mm.values)
 
 
@@ -95,23 +97,28 @@ def test_spmm_interpret_and_xla():
 
 def test_multiplicity_overflow_spreads_over_levels():
     # 40 entries per row into only 64 columns: level-1 chunks overflow
-    # heavily, level 2 (d=8, deep cap) must absorb them with ~zero
-    # remainder
+    # heavily; the pooled tail must absorb them with ~zero remainder
     mm = random_sparse(300, 64, 40, seed=6)
     w = WellCwMatrix.from_matrix_market(mm)
-    assert len(w.levels) >= 2
-    assert w.levels[1].num_chunks > 0
+    assert w.pool is not None and w.pool.num_chunks > 0
     assert w.remainder_fraction < 0.01
     dense = _dense_of(mm)
     x = np.random.default_rng(4).standard_normal(64)
     np.testing.assert_allclose(w.spmv(x), dense @ x, atol=1e-9)
+    # explicit multi-level spec (no pool): level 2 absorbs instead
+    w2 = WellCwMatrix.from_matrix_market(
+        mm, levels=((4, 6, 0.05), (8, 64, 0.0)), pool_cap=0)
+    assert len(w2.levels) >= 2 and w2.levels[1].num_chunks > 0
+    assert w2.pool is None
+    np.testing.assert_allclose(w2.spmv(x), dense @ x, atol=1e-9)
 
 
 def test_remainder_path():
     # cap=1 on a single shallow level forces a real remainder; the
     # device paths must still match
     mm = random_sparse(256, 256, 12, seed=7)
-    w = WellCwMatrix.from_matrix_market(mm, levels=[(2, 1, 0.0)])
+    w = WellCwMatrix.from_matrix_market(mm, levels=[(2, 1, 0.0)],
+                                        pool_cap=0)
     assert w.remainder is not None and w.num_remainder > 0
     dense = _dense_of(mm)
     x = np.random.default_rng(5).standard_normal(256)
@@ -181,6 +188,8 @@ def test_refstring_shape_contract():
     w = k.matrix
     per_chunk = 1 + 3 * 8 * 128 + 128
     want = sum(lv.num_chunks for lv in w.levels) * per_chunk
+    if w.pool is not None:
+        want += w.pool.num_chunks * (1 + 5 * 8 * 128)
     if w.remainder is not None:
         r = w.remainder
         want += 3 * r.num_entries + 2 * r.num_rows + 2
