@@ -67,6 +67,12 @@ class TpuMachineModel:
     # conservative budget.  0 = no residency modeling.
     resident_bytes: int = 0
     resident_gbps: float = 0.0
+    # Measured same-buffer read+write aggregate (probe 31b): streams
+    # that read and write the same HBM buffer (in-place chained
+    # kernels) move at this rate, not at the read-only pin rate;
+    # cross-buffer r+w is slower still (~330 GB/s measured).  0 =
+    # price r+w streams at hbm_gbps.
+    hbm_rw_gbps: float = 0.0
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)
@@ -87,6 +93,7 @@ TPU_V5E = TpuMachineModel(
     ici_links=4,
     resident_bytes=96 * 1024**2,
     resident_gbps=6400.0,
+    hbm_rw_gbps=650.0,
 )
 
 TPU_V5P = TpuMachineModel(
@@ -180,6 +187,7 @@ def roofline_time(
     machine: Optional[TpuMachineModel] = None,
     dtype: str = "float32",
     resident_rw_bytes: int = 0,
+    rw_bytes: int = 0,
 ) -> dict:
     """Speed-of-light time and the binding resource.
 
@@ -190,7 +198,10 @@ def roofline_time(
     ``TpuMachineModel.resident_bytes``); it is priced at the measured
     resident bandwidth instead of HBM.  If the machine has no
     residency model — or the resident working set exceeds the budget —
-    those bytes are folded into the HBM stream.
+    those bytes are folded into ``rw_bytes``: r+w traffic over one
+    too-large buffer, priced at the measured same-buffer rate
+    (``hbm_rw_gbps``) — the physically attainable rate for in-place
+    streams, which the single pin-rate constant overstates.
     """
     machine = machine or TPU_V5E
     peak = (
@@ -205,16 +216,20 @@ def roofline_time(
         and resident_rw_bytes // 2 <= machine.resident_bytes
     )
     if resident_rw_bytes and not resident_ok:
-        bytes_moved = bytes_moved + resident_rw_bytes
+        rw_bytes = rw_bytes + resident_rw_bytes
         resident_rw_bytes = 0
+    rw_rate = machine.hbm_rw_gbps or machine.hbm_gbps
     t_mem = bytes_moved / (machine.hbm_gbps * 1e9)
+    if rw_bytes:
+        t_mem += rw_bytes / (rw_rate * 1e9)
     if resident_rw_bytes:
         t_mem += resident_rw_bytes / (machine.resident_gbps * 1e9)
     t_cmp = flops / peak
-    total_bytes = bytes_moved + resident_rw_bytes
+    total_bytes = bytes_moved + rw_bytes + resident_rw_bytes
     return {
         "machine": machine.name,
         "bytes": bytes_moved,
+        "rw_bytes": rw_bytes,
         "resident_rw_bytes": resident_rw_bytes,
         "flops": flops,
         "time_memory_bound_s": t_mem,

@@ -497,3 +497,26 @@ def test_well_simulation_mode_end_to_end():
     huge = LRU(1 << 24, 64)
     misses = sum(huge.allocate(int(x)) for x in a)
     assert misses == np.unique(a // 64).size
+
+
+def test_roofline_rw_rate_and_residency_fold():
+    from spmv_tpu.perfmodel.tiling import TPU_V5E, roofline_time
+
+    gb = 10**9
+    # resident working set fits: priced at the resident bandwidth
+    r = roofline_time(gb, 10**6, machine=TPU_V5E,
+                      resident_rw_bytes=100 * 2**20)
+    assert r["resident_rw_bytes"] == 100 * 2**20
+    assert r["rw_bytes"] == 0
+    # too large to stay resident: folded into rw_bytes at the
+    # measured same-buffer r+w rate (slower than the read pin rate)
+    big = 2 * TPU_V5E.resident_bytes + 2**20
+    r2 = roofline_time(gb, 10**6, machine=TPU_V5E,
+                       resident_rw_bytes=big)
+    assert r2["resident_rw_bytes"] == 0 and r2["rw_bytes"] == big
+    expect = gb / (TPU_V5E.hbm_gbps * 1e9) \
+        + big / (TPU_V5E.hbm_rw_gbps * 1e9)
+    assert abs(r2["time_memory_bound_s"] - expect) < 1e-12
+    # r+w bytes cost more than the same bytes read-only
+    r3 = roofline_time(gb + big, 10**6, machine=TPU_V5E)
+    assert r2["time_memory_bound_s"] > r3["time_memory_bound_s"]
