@@ -42,13 +42,28 @@ rel = np.abs(Y - want).max() / np.abs(want).max()
 print("max rel err:", rel)
 assert rel < 1e-4, rel
 
-f = jax.jit(lambda A, X: well_spmm(A, X))
-f(A, Xd).block_until_ready()
-t0 = time.perf_counter()
-n_it = 20
-for _ in range(n_it):
-    Y = f(A, Xd)
-Y.block_until_ready()
-dt = (time.perf_counter() - t0) / n_it
+# fetch-synced long-chain marginal (block_until_ready does not
+# synchronize through the tunnel; see RESULTS.md probes 30-33)
+def mk(kc):
+    @jax.jit
+    def f(X, A):
+        def body(_, V):
+            Y = well_spmm(A, V)
+            return Y[: V.shape[0]]
+        return jnp.sum(jax.lax.fori_loop(0, kc, body, X)) * 1e-9
+    return f
+
+f1, f2 = mk(2), mk(14)
+for f in (f1, f2):
+    float(f(Xd, A))
+best = []
+for f in (f1, f2):
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(Xd, A))
+        ts.append(time.perf_counter() - t0)
+    best.append(min(ts))
+dt = (best[1] - best[0]) / 12
 print(f"seg spmm k={k}: {dt*1e3:.3f} ms, "
       f"{k*w.num_entries/dt/1e9:.2f} Gnnz/s")
