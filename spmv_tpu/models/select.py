@@ -49,8 +49,8 @@ def auto_format(
     """Pick and build the best host format for ``mm``.
 
     Returns (matrix, rationale).  ``rationale["format"]`` is one of
-    "dia" / "well" / "well+rcm" / "csr"; the dict carries the numbers
-    the decision used.
+    "dia" / "well" / "well+rcm" / "well+sigma" / "wellcw"; the dict
+    carries the numbers the decision used.
     """
     rationale: dict = {}
 
@@ -75,7 +75,10 @@ def auto_format(
         return well, rationale
 
     if try_rcm and mm.num_rows == mm.num_columns:
-        from spmv_tpu.models.reorder import find_new_order_rcm
+        from spmv_tpu.models.reorder import (
+            find_new_order_rcm,
+            find_new_order_sigma,
+        )
 
         mm_rcm = mm.permute(find_new_order_rcm(mm))
         well_rcm = WellMatrix.from_matrix_market(
@@ -92,10 +95,29 @@ def auto_format(
             )
             return well_rcm, rationale
 
+        # sigma row sort: groups rows of similar length so per-slot
+        # windows align — catches length-skewed matrices RCM leaves
+        # scattered
+        mm_sig = mm.permute(find_new_order_sigma(mm))
+        well_sig = WellMatrix.from_matrix_market(
+            mm_sig, window_rows=window_rows
+        )
+        rationale["well_sigma_spill"] = well_sig.spill_fraction
+        rationale["well_sigma_fill"] = well_sig.fill_ratio
+        if (well_sig.spill_fraction <= WELL_MAX_SPILL
+                and well_sig.fill_ratio <= WELL_MAX_FILL):
+            rationale["format"] = "well+sigma"
+            rationale["note"] = (
+                "matrix was sigma-sorted; vectors must be permuted "
+                "accordingly"
+            )
+            return well_sig, rationale
+
     # Scattered columns: chunk-window WELL — structurally spill-free
-    # (windows tile the column space; the remainder is multiplicity
-    # overflow only, ~zero with the default level spec), so there is
-    # no performance cliff and no CSR fallback on the device path.
+    # (band-adaptive anchored windows + the pooled tail; the remainder
+    # is pathological multiplicity only, ~zero with the default
+    # spec), so there is no performance cliff and no CSR fallback on
+    # the device path.
     cw = WellCwMatrix.from_matrix_market(mm)
     rationale["format"] = "wellcw"
     rationale["wellcw_fill"] = cw.fill_ratio

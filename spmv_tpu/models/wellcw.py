@@ -122,6 +122,27 @@ class CwLevel:
         return int(self.value.shape[0])
 
 
+
+def _grouped_minmax(key: np.ndarray, vals: np.ndarray, nkeys: int):
+    """Per-key (min, max) of ``vals``; fast reduceat path when ``key``
+    is non-decreasing (entries are row-sorted on every construction
+    path), ufunc.at fallback otherwise (ufunc.at is ~10x slower)."""
+    lo = np.full(nkeys, np.iinfo(np.int64).max, dtype=np.int64)
+    hi = np.full(nkeys, -1, dtype=np.int64)
+    if vals.size == 0:
+        return lo, hi
+    if np.all(key[1:] >= key[:-1]):
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        ks = key[starts]
+        lo[ks] = np.minimum.reduceat(vals, starts)
+        hi[ks] = np.maximum.reduceat(vals, starts)
+    else:
+        np.minimum.at(lo, key, vals)
+        np.maximum.at(hi, key, vals)
+    return lo, hi
+
+
 def _pack_level(
     num_rows: int,
     num_columns: int,
@@ -157,10 +178,7 @@ def _pack_level(
     ng = max(-(-num_rows // GROUP_ROWS), 1)
 
     # per-group column range, in xt-row (= d x2d-rows) units
-    glo = np.full(ng, np.iinfo(np.int64).max, dtype=np.int64)
-    ghi = np.full(ng, -1, dtype=np.int64)
-    np.minimum.at(glo, g, x2drow)
-    np.maximum.at(ghi, g, x2drow)
+    glo, ghi = _grouped_minmax(g, x2drow, ng)
     a_low = np.maximum(glo // d, 0)
     a_high = np.maximum(-(-(ghi + 1) // d) - SUBLANE, 0)
     a_low = np.where(ghi < 0, 0, a_low)
@@ -168,24 +186,28 @@ def _pack_level(
 
     placed_rank = np.full(rows.size, -1, dtype=np.int64)
     anchors = np.empty((cap, ng), dtype=np.int64)
-    idx_all = np.arange(rows.size)
+    # iterate only over still-unplaced entries: deep caps would
+    # otherwise rescan all nnz per rank pass
+    remaining = np.arange(rows.size)
     for k in range(cap):
         a4 = a_low if (k % 2 == 0) else a_high
         anchors[k] = a4
-        w = x2drow - a4[g] * d
-        cand = (placed_rank < 0) & (w >= 0) & (w < wd)
-        ci = idx_all[cand]
+        if remaining.size == 0:
+            break
+        w = x2drow[remaining] - a4[g[remaining]] * d
+        cand = (w >= 0) & (w < wd)
+        ci = remaining[cand]
         if ci.size == 0:
-            if not (placed_rank < 0).any():
-                break
             continue
-        cell = ((g[ci] * SUBLANE) + w[ci] // d) * GROUP_ROWS + lane[ci]
+        cell = ((g[ci] * SUBLANE) + (w[cand]) // d) * GROUP_ROWS \
+            + lane[ci]
         order = np.argsort(cell, kind="stable")
         cs = cell[order]
         first = np.empty(cs.size, dtype=bool)
         first[0] = True
         np.not_equal(cs[1:], cs[:-1], out=first[1:])
         placed_rank[ci[order[first]]] = k
+        remaining = remaining[placed_rank[remaining] < 0]
 
     keep = placed_rank >= 0
 
@@ -258,11 +280,7 @@ def _pack_pool(
     lane = rows & (GROUP_ROWS - 1)
     npool = max(-(-max(num_rows, 1) // (GROUP_ROWS * POOL_GROUPS)), 1)
 
-    big = np.iinfo(np.int64).max
-    glo = np.full(npool, big, dtype=np.int64)
-    ghi = np.full(npool, -1, dtype=np.int64)
-    np.minimum.at(glo, pool, x2drow)
-    np.maximum.at(ghi, pool, x2drow)
+    glo, ghi = _grouped_minmax(pool, x2drow, npool)
     a_low = np.where(ghi < 0, 0, np.maximum(glo // d, 0))
     a_high = np.where(
         ghi < 0, 0, np.maximum(-(-(ghi + 1) // d) - SUBLANE, 0))
@@ -272,19 +290,20 @@ def _pack_pool(
     placed_rank = np.full(rows.size, -1, dtype=np.int64)
     anchors = np.empty((cap, npool), dtype=np.int64)
     idx_all = np.arange(rows.size)
+    remaining = idx_all
     for k in range(cap):
         a4 = np.minimum(a_low + SUBLANE * (k % npos), a_high)
         anchors[k] = a4
-        w = x2drow - a4[pool] * d
-        cand = (placed_rank < 0) & (w >= 0) & (w < wd)
-        ci = idx_all[cand]
-        if not (placed_rank < 0).any():
+        if remaining.size == 0:
             break
+        w = x2drow[remaining] - a4[pool[remaining]] * d
+        cand = (w >= 0) & (w < wd)
+        ci = remaining[cand]
         if ci.size == 0:
             if k >= int(npos.max()):
                 break
             continue
-        cell = ((pool[ci] * SUBLANE) + w[ci] // d) * GROUP_ROWS \
+        cell = ((pool[ci] * SUBLANE) + w[cand] // d) * GROUP_ROWS \
             + lane[ci]
         order = np.argsort(cell, kind="stable")
         cs = cell[order]
@@ -292,6 +311,7 @@ def _pack_pool(
         first[0] = True
         np.not_equal(cs[1:], cs[:-1], out=first[1:])
         placed_rank[ci[order[first]]] = k
+        remaining = remaining[placed_rank[remaining] < 0]
 
     keep = placed_rank >= 0
     if not keep.any():

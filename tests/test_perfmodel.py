@@ -520,3 +520,15 @@ def test_roofline_rw_rate_and_residency_fold():
     # r+w bytes cost more than the same bytes read-only
     r3 = roofline_time(gb + big, 10**6, machine=TPU_V5E)
     assert r2["time_memory_bound_s"] > r3["time_memory_bound_s"]
+
+
+def test_shipped_config_files_parse():
+    import pathlib
+
+    from spmv_tpu.perfmodel.trace_config import read_trace_config
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "configs"
+    for name in ("cpu-2thread.json", "tpu-v5e-measured.json"):
+        cfg = read_trace_config(str(root / name))
+        assert cfg.caches and cfg.thread_affinities
+        assert cfg.max_cache_size() > 0
