@@ -265,11 +265,45 @@ def coo_spmv_refstring(
         widx = jj * m.num_rows + ii
         base = 5 * nnz
         addrs[base::2] = w_a.addresses(widx)
+        # Reference-exact attribution (coo-matrix.cpp:128-136, same in
+        # hybrid-matrix.cpp:215-224): ownership is computed over a
+        # FICTIONAL workspace of num_threads*thread_num_rows elements
+        # — not the real num_threads*rows — with indices past its end
+        # clamped to its last page.  Verified bit-for-bit against the
+        # reference binary (tests/test_reference_diff.py).
         numas[base::2] = numa_domains[
-            thread_of_index(w_a, widx, num_threads, page_size)
+            _fictional_thread_of_index(
+                num_threads * rows, w_a.itemsize, widx, num_threads,
+                page_size,
+            )
         ]
         addrs[base + 1::2] = y_a.addresses(ii)
     return addrs, numas
+
+
+def _fictional_thread_of_index(
+    num_elements: int,
+    itemsize: int,
+    indices,
+    num_threads: int,
+    page_size: int,
+) -> np.ndarray:
+    """aligned-allocator.hpp:156-211 over an array *claimed* to have
+    ``num_elements`` elements (page-aligned base): page_of_index clamps
+    out-of-range indices to the claimed last page; thread_of_page
+    returns the first thread whose equal-block byte range contains the
+    page start, falling back to the last thread."""
+    idx = np.asarray(indices, dtype=np.int64)
+    total_bytes = num_elements * itemsize
+    npages = max(-(-total_bytes // page_size), 1)
+    pages = np.minimum((idx * itemsize) // page_size, npages - 1)
+    per = -(-num_elements // num_threads) if num_elements else 0
+    starts = np.minimum(
+        np.arange(num_threads + 1, dtype=np.int64) * per, num_elements
+    ) * itemsize
+    owner = np.searchsorted(starts[1:-1], pages * page_size,
+                            side="right")
+    return np.clip(owner, 0, num_threads - 1).astype(np.int32)
 
 
 def coo_atomic_spmv_refstring(

@@ -195,11 +195,13 @@ def parse_trace_config(doc: dict) -> TraceConfig:
                 size=int(c["size"]),
                 line_size=int(c["line_size"]),
                 parent=c.get("parent"),
+                # explicit JSON nulls are valid in the reference's
+                # schema (trace-config.cpp requires the keys, null OK)
                 bandwidth=c.get("bandwidth"),
                 bandwidth_per_numa_domain=tuple(
-                    c.get("bandwidth_per_numa_domain", ())
+                    c.get("bandwidth_per_numa_domain") or ()
                 ),
-                cache_miss_event=c.get("cache_miss_event", ""),
+                cache_miss_event=c.get("cache_miss_event") or "",
             )
         except (KeyError, TypeError, ValueError) as e:
             raise TraceConfigError(f"invalid cache {name!r}: {e}") from e
@@ -214,7 +216,7 @@ def parse_trace_config(doc: dict) -> TraceConfig:
                     cache=t["cache"],
                     numa_domain=int(t["numa_domain"]),
                     event_groups=tuple(
-                        tuple(g) for g in t.get("event_groups", ())
+                        tuple(g) for g in (t.get("event_groups") or ())
                     ),
                 )
             )
