@@ -169,3 +169,44 @@ def test_warmup_matches(ref_bin, fixtures):
                   "--warmup"])
     ours = _run_ours(["-c", cfg, "-m", m, "-s", "csr", "--warmup"])
     assert ours["cache_misses"] == ref["cache_misses"]
+
+@pytest.fixture(scope="session")
+def rect_fixtures(tmp_path_factory):
+    """A rectangular matrix, plain and as a SuiteSparse-layout
+    .tar.gz (name/name.mtx) — pins the whole ingestion stack (gzip,
+    ustar member convention, rectangular conversion) against the
+    reference's loader."""
+    import gzip
+    import io
+    import tarfile
+
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.io.matrix_market import write_matrix_market
+
+    d = tmp_path_factory.mktemp("refdiff_rect")
+    mm = random_sparse(120, 260, 5, seed=9)
+    buf = io.StringIO()
+    write_matrix_market(mm, buf)
+    data = buf.getvalue().encode()
+    plain = d / "rect.mtx"
+    plain.write_bytes(data)
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        ti = tarfile.TarInfo("rect/rect.mtx")
+        ti.size = len(data)
+        t.addfile(ti, io.BytesIO(data))
+    targz = d / "rect.tar.gz"
+    targz.write_bytes(gzip.compress(tbuf.getvalue()))
+    return {"plain": plain, "targz": targz}
+
+
+@pytest.mark.parametrize("container", ["plain", "targz"])
+@pytest.mark.parametrize("fmt", ["csr", "coo"])
+def test_rectangular_and_targz_match(ref_bin, fixtures, rect_fixtures,
+                                     container, fmt):
+    cfg = str(fixtures["cfgs"][2])
+    m = str(rect_fixtures[container])
+    ref = _run_reference(
+        ref_bin, ["-c", cfg, "-m", m, "--spmv-format", fmt])
+    ours = _run_ours(["-c", cfg, "-m", m, "-s", fmt])
+    assert ours["cache_misses"] == ref["cache_misses"]
