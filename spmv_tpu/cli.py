@@ -253,7 +253,25 @@ def _solve_cg(args, out) -> None:
     ones = jnp.ones((m.num_columns,), default_value_dtype())
     b = spmv(A, ones)
 
-    if args.precondition == "jacobi":
+    from spmv_tpu.models.device import DeviceDia
+
+    if isinstance(A, DeviceDia):
+        # padded-layout fast path: pad once, one Pallas matvec per
+        # iteration, CG vectors stay in the kernel layout (resident
+        # on-chip up to ~4M rows on the measured machine)
+        from spmv_tpu.ops import dia_conjugate_gradient
+
+        interpret = jax.default_backend() == "cpu"
+        diag = (extract_diagonal(m) if args.precondition == "jacobi"
+                else None)
+
+        @jax.jit
+        def solve(b):
+            return dia_conjugate_gradient(
+                A, b, tol=args.cg_tol, max_iterations=args.cg,
+                interpret=interpret, jacobi_diag=diag,
+            )
+    elif args.precondition == "jacobi":
         diag = jnp.asarray(extract_diagonal(m),
                            dtype=default_value_dtype())
         minv = jacobi_preconditioner(diag)

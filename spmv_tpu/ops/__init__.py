@@ -4,6 +4,7 @@ from spmv_tpu.ops.spmv import spmv, spmv_padded, spmm, fast_spmv
 from spmv_tpu.ops.triad import triad
 from spmv_tpu.ops.solvers import (
     conjugate_gradient,
+    dia_conjugate_gradient,
     extract_diagonal,
     jacobi_preconditioner,
     preconditioned_conjugate_gradient,
@@ -13,6 +14,7 @@ from spmv_tpu.ops.pallas_kernels import dia_spmv, dia_spmv_padded, well_spmv, we
 __all__ = [
     "spmv", "spmv_padded", "spmm", "fast_spmv", "triad",
     "conjugate_gradient", "preconditioned_conjugate_gradient",
+    "dia_conjugate_gradient",
     "jacobi_preconditioner", "extract_diagonal",
     "dia_spmv", "dia_spmv_padded", "well_spmv", "well_spmv_padded",
 ]

@@ -117,6 +117,99 @@ def preconditioned_conjugate_gradient(
     return CgResult(x=x, residual_norm=jnp.sqrt(rr), iterations=k)
 
 
+def dia_conjugate_gradient(
+    A,
+    b: jax.Array,
+    x0: jax.Array = None,
+    tol: float = 1e-8,
+    max_iterations: int = 1000,
+    tile_rows: int = 256,
+    interpret: bool = False,
+    jacobi_diag=None,
+    path: str = "auto",
+) -> CgResult:
+    """CG specialized to DIA, with a size-dependent matvec path.
+
+    Measured (16.7M-row poisson): the padded-layout Pallas path runs
+    one CG iteration in 1.15 ms vs 6.1 ms for the generic
+    pad-per-call path — 5.3x.  But when the diagonal data itself fits
+    the on-chip residency budget (~4M rows at 5 diagonals), XLA's
+    fused shifted-slice formulation wins instead (41 us vs 136 us per
+    iteration at 4.2M rows): everything stays on-chip and fuses.
+    ``path="auto"`` picks by comparing the diagonal bytes to the
+    machine model's residency budget; "pallas" / "xla" force it.
+
+    On the Pallas path everything is padded ONCE: b, x and the CG
+    work vectors live in the kernel's 2-D layout (padding rows are
+    exact zeros — the diagonal data is zero there, so A@p keeps them
+    zero and every axpy/dot is unaffected), each iteration is one
+    ``dia_spmv_core`` call, and x is extracted at the end.
+
+    ``jacobi_diag`` (optional, length num_rows) switches to Jacobi-
+    preconditioned CG with the diagonal padded into the same layout.
+    """
+    from spmv_tpu.ops.pallas_kernels import (
+        dia_extract_y,
+        dia_prepare_x,
+        dia_spmv_core,
+    )
+
+    if A.num_rows != A.num_columns:
+        raise ValueError("dia_conjugate_gradient requires a square "
+                         "matrix")
+    if path == "auto":
+        from spmv_tpu.perfmodel.tiling import TPU_V5E
+
+        diag_bytes = A.data.size * A.data.dtype.itemsize
+        path = ("xla" if 0 < diag_bytes <= TPU_V5E.resident_bytes
+                else "pallas")
+    if path == "xla":
+        from spmv_tpu.ops.spmv import spmv as _spmv
+
+        matvec = lambda v: _spmv(A, v)   # noqa: E731
+        if jacobi_diag is not None:
+            return preconditioned_conjugate_gradient(
+                matvec, b,
+                jacobi_preconditioner(
+                    jnp.asarray(jacobi_diag, b.dtype)),
+                x0=x0, tol=tol, max_iterations=max_iterations)
+        return conjugate_gradient(
+            matvec, b, x0=x0, tol=tol,
+            max_iterations=max_iterations)
+    b2 = dia_prepare_x(A, b, tile_rows)
+    x02 = (jnp.zeros_like(b2) if x0 is None
+           else dia_prepare_x(A, x0, tile_rows))
+
+    def matvec2(p2):
+        # out-of-place: CG reuses p after A@p, so in-place aliasing
+        # would force XLA into a defensive copy anyway
+        return dia_spmv_core(A, p2, tile_rows, interpret=interpret,
+                             in_place=False)
+
+    if jacobi_diag is not None:
+        d2 = dia_prepare_x(A, jnp.asarray(jacobi_diag, b.dtype),
+                           tile_rows)
+        safe = jnp.where(d2 == 0, jnp.ones_like(d2), d2)
+        # real rows with zero diagonal pass through unscaled (as
+        # jacobi_preconditioner does); padding rows scale by 0 so the
+        # layout's zero padding stays invariant
+        mask2 = dia_prepare_x(
+            A, jnp.ones((A.num_rows,), b.dtype), tile_rows)
+        inv2 = jnp.where(d2 == 0, mask2, 1.0 / safe)
+        res = preconditioned_conjugate_gradient(
+            matvec2, b2, lambda r: r * inv2, x0=x02, tol=tol,
+            max_iterations=max_iterations)
+    else:
+        res = conjugate_gradient(
+            matvec2, b2, x0=x02, tol=tol,
+            max_iterations=max_iterations)
+    return CgResult(
+        x=dia_extract_y(A, res.x, tile_rows),
+        residual_norm=res.residual_norm,
+        iterations=res.iterations,
+    )
+
+
 def jacobi_preconditioner(diag: jax.Array) -> Callable:
     """M^-1 r = r / diag, with zero diagonal entries passed through
     unscaled (the reference has no solver layer; Jacobi is the

@@ -175,3 +175,44 @@ def test_jacobi_preconditioner_zero_diag_passthrough():
     minv = jacobi_preconditioner(jnp.asarray([2.0, 0.0, 4.0]))
     out = np.asarray(minv(jnp.asarray([2.0, 3.0, 8.0])))
     np.testing.assert_allclose(out, [1.0, 3.0, 2.0])
+
+
+def test_dia_conjugate_gradient_padded_fast_path():
+    from spmv_tpu.models import DiaMatrix
+    from spmv_tpu.models.device import DeviceDia
+    from spmv_tpu.ops import dia_conjugate_gradient, extract_diagonal
+
+    mm = poisson2d(16, 16)
+    host = DiaMatrix.from_matrix_market(mm)
+    A = DeviceDia.from_host(host)
+    rng = np.random.default_rng(8)
+    x_true = rng.standard_normal(mm.num_rows)
+    b = host.spmv(x_true)
+
+    res = jax.jit(
+        lambda b: dia_conjugate_gradient(
+            A, b, tol=1e-12, max_iterations=2000, interpret=True,
+            path="pallas",
+        )
+    )(jnp.asarray(b))
+    assert res.x.shape == (mm.num_rows,)
+    np.testing.assert_allclose(np.asarray(res.x), x_true,
+                               rtol=1e-6, atol=1e-8)
+
+    # Jacobi-preconditioned variant converges to the same solution
+    res2 = jax.jit(
+        lambda b: dia_conjugate_gradient(
+            A, b, tol=1e-12, max_iterations=2000, interpret=True,
+            jacobi_diag=extract_diagonal(host), path="pallas",
+        )
+    )(jnp.asarray(b))
+    # auto path on a small matrix routes to the fused XLA formulation
+    res3 = jax.jit(
+        lambda b: dia_conjugate_gradient(
+            A, b, tol=1e-12, max_iterations=2000
+        )
+    )(jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(res3.x), x_true,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res2.x), x_true,
+                               rtol=1e-6, atol=1e-8)
