@@ -1415,9 +1415,7 @@ def _cw_spmm_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref,
     for kk in range(k):
         a4 = ws_ref[0, 0, kk]
         locv = l_ref[kk]
-        llane = jnp.broadcast_to(
-            (locv & (LANE - 1))[:, None, :], (SUBLANE, nvec, LANE)
-        )
+        llane = locv & (LANE - 1)                    # (8, LANE)
         sel = jnp.broadcast_to(
             ((locv >> 7) & (d - 1))[:, None, :], (SUBLANE, nvec, LANE)
         )
@@ -1425,7 +1423,11 @@ def _cw_spmm_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref,
         acc = jnp.zeros((SUBLANE, nvec, LANE), dtype=dtype)
         for p in range(d):
             T = x_ref[p, pl.ds(a4, SUBLANE), :, :]   # (8, nvec, LANE)
-            gthr = jnp.take_along_axis(T, llane, axis=2)
+            # Mosaic only lowers 2-D gathers: shuffle one vector
+            # column at a time (nvec is small and static)
+            gthr = jnp.stack(
+                [jnp.take_along_axis(T[:, v, :], llane, axis=1)
+                 for v in range(nvec)], axis=1)      # (8, nvec, LANE)
             acc = acc + jnp.where(sel == p, val * gthr,
                                   jnp.zeros_like(gthr))
         strip = jnp.sum(acc, axis=0, keepdims=True)  # (1, nvec, LANE)
@@ -1460,9 +1462,7 @@ def _cw_pool_spmm_kernel(blk_ref, ws_ref, x_ref, v_ref, l_ref,
     for kk in range(k):
         a4 = ws_ref[0, 0, kk]
         locv = l_ref[kk]
-        llane = jnp.broadcast_to(
-            (locv & (LANE - 1))[:, None, :], (SUBLANE, nvec, LANE)
-        )
+        llane = locv & (LANE - 1)                   # (8, LANE)
         sel = jnp.broadcast_to(
             ((locv >> 7) & (d - 1))[:, None, :], (SUBLANE, nvec, LANE)
         )
@@ -1470,7 +1470,9 @@ def _cw_pool_spmm_kernel(blk_ref, ws_ref, x_ref, v_ref, l_ref,
         acc = jnp.zeros((SUBLANE, nvec, LANE), dtype=dtype)
         for p in range(d):
             T = x_ref[p, pl.ds(a4, SUBLANE), :, :]
-            gthr = jnp.take_along_axis(T, llane, axis=2)
+            gthr = jnp.stack(
+                [jnp.take_along_axis(T[:, v, :], llane, axis=1)
+                 for v in range(nvec)], axis=1)     # (8, nvec, LANE)
             acc = acc + jnp.where(sel == p, val * gthr,
                                   jnp.zeros_like(gthr))
         rm = rm_ref[kk] - base                      # (8, LANE)
