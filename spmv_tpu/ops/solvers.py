@@ -127,6 +127,7 @@ def dia_conjugate_gradient(
     interpret: bool = False,
     jacobi_diag=None,
     path: str = "auto",
+    machine=None,
 ) -> CgResult:
     """CG specialized to DIA, with a size-dependent matvec path.
 
@@ -158,10 +159,15 @@ def dia_conjugate_gradient(
         raise ValueError("dia_conjugate_gradient requires a square "
                          "matrix")
     if path == "auto":
-        from spmv_tpu.perfmodel.tiling import TPU_V5E
+        # machine defaults to the measured target chip; pass the
+        # actual machine model when running elsewhere (a model with
+        # resident_bytes=0 always takes the Pallas streaming path)
+        if machine is None:
+            from spmv_tpu.perfmodel.tiling import TPU_V5E
 
+            machine = TPU_V5E
         diag_bytes = A.data.size * A.data.dtype.itemsize
-        path = ("xla" if 0 < diag_bytes <= TPU_V5E.resident_bytes
+        path = ("xla" if 0 < diag_bytes <= machine.resident_bytes
                 else "pallas")
     if path == "xla":
         from spmv_tpu.ops.spmv import spmv as _spmv

@@ -332,6 +332,18 @@ def shard_well_halo(
         np.asarray(base.sp_cols, dtype=np.int64), 0, stacked - 1
     )
 
+    # Padded cells (value 0) must not create phantom halo needs: their
+    # clipped window positions land in shard 0's range and would force
+    # every other shard into a needless (or wider) exchange.  Redirect
+    # them to a local element — the zero value multiplies whatever is
+    # gathered away.  (Also covers explicitly stored zeros, which is
+    # equally correct.)
+    val = np.asarray(base.value)
+    spv = np.asarray(base.sp_vals)
+    for q in range(p):
+        xcol[q][val[q] == 0] = q * R
+        sp_cols[q][spv[q] == 0] = q * R
+
     owner_bounds = np.arange(p + 1, dtype=np.int64) * R
     needs = []
     for q in range(p):

@@ -64,7 +64,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+            # binding raises AttributeError on a stale .so built from
+            # pre-progress sources — fall back to the Python replay
+            lib.simcache_replay_interleaved_progress
+        except (OSError, AttributeError):
             return None
         lib.simcache_replay_interleaved_progress.restype = ctypes.c_int
         lib.simcache_replay_interleaved_progress.argtypes = [

@@ -78,7 +78,7 @@ def summarize_xplane(
         if not (is_device or include_host):
             continue
         per_op = {}
-        plane_busy = 0.0
+        line_busy = {}
         for line in plane.lines:
             if line.name in _SKIP_LINES:
                 continue
@@ -88,9 +88,15 @@ def summarize_xplane(
                     continue
                 key = (line.name, ev.name)
                 per_op.setdefault(key, []).append(dur)
-                plane_busy += dur
+                line_busy[line.name] = line_busy.get(line.name, 0.0) \
+                    + dur
         if not per_op:
             continue
+        # Lines overlap in wall time (e.g. "XLA Modules" events
+        # enclose the same span as their "XLA Ops" children), so
+        # summing across lines double-counts; the densest single
+        # line is the busy-time estimate.
+        plane_busy = max(line_busy.values())
         events = []
         for (line_name, op), durs in per_op.items():
             s = Sample(size=len(durs), values=tuple(durs), unit="ns")
