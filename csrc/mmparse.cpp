@@ -1,4 +1,4 @@
-// mmparse — native Matrix Market ingestion.
+// mmparse — native Matrix Market ingestion, streaming.
 //
 // The performance ingestion path: the C++ counterpart of the
 // reference's loader stack (zlib inflate streambuf + POSIX ustar member
@@ -8,6 +8,13 @@
 // (spmv_tpu.io.matrix_market) is the semantic reference; this library
 // accelerates large files and is dispatched to via
 // spmv_tpu.io.native when present.
+//
+// Like the reference's zlibstream (128 KiB underflow buffers,
+// zlibstream.cpp:45-136), decompression is STREAMING: the file is read
+// and inflated in fixed-size chunks through a pull pipeline
+//   file -> [inflate] -> [tar member framing] -> line-carry parser
+// so peak memory is the output arrays plus fixed buffers — the
+// inflated text (3-4x the binary size) never exists in RAM at once.
 //
 // Supports: plain .mtx, gzip (.mtx.gz) and SuiteSparse tarballs
 // (.tar.gz with member <stem>/<stem>.mtx), detected by content, not
@@ -29,6 +36,8 @@
 
 namespace {
 
+constexpr size_t CHUNK = 256 * 1024;
+
 struct Result {
     int64_t rows = 0;
     int64_t cols = 0;
@@ -41,61 +50,101 @@ struct Result {
     std::string error;
 };
 
-bool read_file(const char *path, std::vector<uint8_t> &out,
-               std::string &err) {
-    FILE *f = std::fopen(path, "rb");
-    if (!f) {
-        err = std::string("cannot open ") + path;
-        return false;
-    }
-    std::fseek(f, 0, SEEK_END);
-    long size = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    out.resize(size > 0 ? (size_t)size : 0);
-    if (size > 0 && std::fread(out.data(), 1, (size_t)size, f)
-                        != (size_t)size) {
-        err = std::string("short read on ") + path;
-        std::fclose(f);
-        return false;
-    }
-    std::fclose(f);
-    return true;
-}
+// ---- pull pipeline ---------------------------------------------------
 
-bool gunzip(const std::vector<uint8_t> &in, std::vector<uint8_t> &out,
-            std::string &err) {
+// Raw file chunks.
+struct FileSource {
+    FILE *f = nullptr;
+    bool eof = false;
+    std::string err;
+
+    bool open(const char *path) {
+        f = std::fopen(path, "rb");
+        if (!f) err = std::string("cannot open ") + path;
+        return f != nullptr;
+    }
+    ~FileSource() {
+        if (f) std::fclose(f);
+    }
+    // Returns bytes read; 0 at EOF.
+    size_t pull(uint8_t *out, size_t n) {
+        if (eof) return 0;
+        size_t got = std::fread(out, 1, n, f);
+        if (got < n) eof = true;
+        return got;
+    }
+};
+
+// Optional gzip layer: inflates the file chunkwise on demand.
+struct InflateSource {
+    FileSource *src = nullptr;
+    bool gz = false;
+    bool done = false;
     z_stream zs;
-    std::memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) {
-        err = "inflateInit2 failed";
-        return false;
-    }
-    zs.next_in = const_cast<uint8_t *>(in.data());
-    zs.avail_in = (uInt)in.size();
-    out.clear();
-    out.reserve(in.size() * 4);
-    std::vector<uint8_t> buf(1 << 20);
-    int rc = Z_OK;
-    while (rc != Z_STREAM_END) {
-        zs.next_out = buf.data();
-        zs.avail_out = (uInt)buf.size();
-        rc = inflate(&zs, Z_NO_FLUSH);
-        if (rc != Z_OK && rc != Z_STREAM_END) {
-            err = "gzip inflate error";
-            inflateEnd(&zs);
-            return false;
+    std::vector<uint8_t> inbuf;
+    std::string err;
+
+    // Peeks the first bytes to detect gzip; always usable afterwards.
+    bool init(FileSource *s) {
+        src = s;
+        inbuf.resize(CHUNK);
+        size_t got = src->pull(inbuf.data(), 2);
+        gz = (got == 2 && inbuf[0] == 0x1f && inbuf[1] == 0x8b);
+        if (gz) {
+            std::memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) {
+                err = "inflateInit2 failed";
+                return false;
+            }
+            zs.next_in = inbuf.data();
+            zs.avail_in = (uInt)got;
+        } else {
+            carry.assign(inbuf.begin(), inbuf.begin() + got);
         }
-        out.insert(out.end(), buf.data(),
-                   buf.data() + (buf.size() - zs.avail_out));
-        if (rc == Z_OK && zs.avail_in == 0 && zs.avail_out != 0) {
-            err = "truncated gzip stream";
-            inflateEnd(&zs);
-            return false;
-        }
+        return true;
     }
-    inflateEnd(&zs);
-    return true;
-}
+    ~InflateSource() {
+        if (gz) inflateEnd(&zs);
+    }
+    std::vector<uint8_t> carry;  // plain-file peeked bytes
+
+    size_t pull(uint8_t *out, size_t n) {
+        if (!gz) {
+            size_t o = 0;
+            if (!carry.empty()) {
+                o = carry.size() < n ? carry.size() : n;
+                std::memcpy(out, carry.data(), o);
+                carry.erase(carry.begin(), carry.begin() + o);
+            }
+            if (o < n) o += src->pull(out + o, n - o);
+            return o;
+        }
+        if (done) return 0;
+        zs.next_out = out;
+        zs.avail_out = (uInt)n;
+        while (zs.avail_out > 0) {
+            if (zs.avail_in == 0 && !src->eof) {
+                size_t got = src->pull(inbuf.data(), inbuf.size());
+                zs.next_in = inbuf.data();
+                zs.avail_in = (uInt)got;
+            }
+            int rc = inflate(&zs, Z_NO_FLUSH);
+            if (rc == Z_STREAM_END) {
+                done = true;
+                break;
+            }
+            if (rc != Z_OK) {
+                err = "gzip inflate error";
+                return 0;
+            }
+            if (zs.avail_in == 0 && src->eof && zs.avail_out > 0) {
+                err = "truncated gzip stream";
+                return 0;
+            }
+        }
+        return n - zs.avail_out;
+    }
+};
 
 // Octal or base-256 tar size field (tarstream.cpp:34-53).
 int64_t tar_field_size(const uint8_t *p, size_t n) {
@@ -111,34 +160,93 @@ int64_t tar_field_size(const uint8_t *p, size_t n) {
     return v;
 }
 
-bool is_tar(const std::vector<uint8_t> &d) {
-    return d.size() >= 512 && std::memcmp(d.data() + 257, "ustar", 5) == 0;
-}
+// Optional tar layer: streams 512-byte headers, skips non-matching
+// members, then frames the matching member's bytes.
+struct MemberSource {
+    InflateSource *src = nullptr;
+    bool tar = false;
+    int64_t remaining = -1;       // member bytes left (tar mode)
+    std::vector<uint8_t> carry;   // peeked bytes when not a tar
+    std::string err;
 
-// Find the first member whose name ends with suffix; returns span.
-bool tar_find(const std::vector<uint8_t> &d, const char *suffix,
-              size_t &off, size_t &len) {
-    size_t pos = 0;
-    size_t slen = std::strlen(suffix);
-    while (pos + 512 <= d.size()) {
-        const uint8_t *hdr = d.data() + pos;
-        if (hdr[0] == 0) break;  // end-of-archive zero block
-        char name[101];
-        std::memcpy(name, hdr, 100);
-        name[100] = 0;
-        int64_t size = tar_field_size(hdr + 124, 12);
-        char typeflag = (char)hdr[156];
-        size_t nlen = std::strlen(name);
-        if ((typeflag == '0' || typeflag == 0) && nlen >= slen &&
-            std::strcmp(name + nlen - slen, suffix) == 0) {
-            off = pos + 512;
-            len = (size_t)size;
-            return off + len <= d.size();
+    bool pull_exact(uint8_t *out, size_t n) {
+        size_t got = 0;
+        while (got < n) {
+            size_t r = src->pull(out + got, n - got);
+            if (r == 0) return false;
+            got += r;
         }
-        pos += 512 + ((size + 511) / 512) * 512;
+        return true;
     }
-    return false;
-}
+
+    bool skip(int64_t n) {
+        uint8_t buf[4096];
+        while (n > 0) {
+            size_t want = n < (int64_t)sizeof(buf) ? (size_t)n
+                                                   : sizeof(buf);
+            size_t r = src->pull(buf, want);
+            if (r == 0) return false;
+            n -= (int64_t)r;
+        }
+        return true;
+    }
+
+    bool init(InflateSource *s, const char *suffix) {
+        src = s;
+        uint8_t hdr[512];
+        size_t got = 0;
+        while (got < 512) {
+            size_t r = src->pull(hdr + got, 512 - got);
+            if (r == 0) break;
+            got += r;
+        }
+        if (got < 512 || std::memcmp(hdr + 257, "ustar", 5) != 0) {
+            carry.assign(hdr, hdr + got);
+            return true;  // not a tar: pass bytes through
+        }
+        tar = true;
+        size_t slen = std::strlen(suffix);
+        while (true) {
+            if (hdr[0] == 0) break;  // end-of-archive zero block
+            char name[101];
+            std::memcpy(name, hdr, 100);
+            name[100] = 0;
+            int64_t size = tar_field_size(hdr + 124, 12);
+            char typeflag = (char)hdr[156];
+            size_t nlen = std::strlen(name);
+            if ((typeflag == '0' || typeflag == 0) && nlen >= slen &&
+                std::strcmp(name + nlen - slen, suffix) == 0) {
+                remaining = size;
+                return true;
+            }
+            int64_t padded = ((size + 511) / 512) * 512;
+            if (!skip(padded)) break;
+            if (!pull_exact(hdr, 512)) break;
+        }
+        err = "no .mtx member in tar archive";
+        return false;
+    }
+
+    size_t pull(uint8_t *out, size_t n) {
+        if (!tar) {
+            size_t o = 0;
+            if (!carry.empty()) {
+                o = carry.size() < n ? carry.size() : n;
+                std::memcpy(out, carry.data(), o);
+                carry.erase(carry.begin(), carry.begin() + o);
+            }
+            if (o < n) o += src->pull(out + o, n - o);
+            return o;
+        }
+        if (remaining <= 0) return 0;
+        size_t want = (int64_t)n < remaining ? n : (size_t)remaining;
+        size_t got = src->pull(out, want);
+        remaining -= (int64_t)got;
+        return got;
+    }
+};
+
+// ---- incremental text parsing ---------------------------------------
 
 inline const char *skip_ws(const char *p, const char *end) {
     while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
@@ -150,72 +258,126 @@ inline const char *next_line(const char *p, const char *end) {
     return p < end ? p + 1 : end;
 }
 
-bool parse_text(const char *p, const char *end, Result &r) {
-    // Header.
-    if (std::strncmp(p, "%%MatrixMarket", 14) != 0) {
-        r.error = "invalid Matrix Market header";
-        return false;
+// Streaming parser state: a buffer holding the unconsumed tail; the
+// parse functions only consume COMPLETE lines (the last partial line
+// carries over to the next refill), so tokens never straddle chunks.
+struct LineBuffer {
+    MemberSource *src;
+    std::vector<char> buf;
+    size_t fill = 0;
+    bool eof = false;
+
+    explicit LineBuffer(MemberSource *s) : src(s) {
+        buf.resize(CHUNK + 1);
     }
-    char obj[32], fmt[32], fld[32], sym[32];
-    {
+    // Appends more bytes; true if anything was added.
+    bool refill() {
+        if (eof) return false;
+        if (fill + CHUNK + 1 > buf.size()) buf.resize(fill + CHUNK + 1);
+        size_t got = src->pull((uint8_t *)buf.data() + fill, CHUNK);
+        fill += got;
+        if (got == 0) eof = true;
+        return got > 0;
+    }
+    void consume(size_t n) {
+        std::memmove(buf.data(), buf.data() + n, fill - n);
+        fill -= n;
+    }
+    // Span of complete lines currently buffered ([data, data+usable));
+    // at EOF the whole remainder is usable.
+    size_t usable() const {
+        if (eof) return fill;
+        for (size_t i = fill; i > 0; --i)
+            if (buf[i - 1] == '\n') return i;
+        return 0;
+    }
+};
+
+bool parse_header(LineBuffer &lb, Result &r) {
+    // Header + comments + size line always fit one chunk in practice;
+    // refill until the size line is complete.
+    while (true) {
+        size_t n = lb.usable();
+        const char *p = lb.buf.data();
+        const char *end = p + n;
+        if (n == 0) {
+            if (!lb.refill()) {
+                r.error = "invalid Matrix Market header";
+                return false;
+            }
+            continue;
+        }
+        if (std::strncmp(p, "%%MatrixMarket", 14) != 0) {
+            r.error = "invalid Matrix Market header";
+            return false;
+        }
+        char obj[32], fmt[32], fld[32], sym[32];
         const char *eol = p;
         while (eol < end && *eol != '\n') ++eol;
         std::string line(p, eol);
-        if (std::sscanf(line.c_str(), "%%%%MatrixMarket %31s %31s %31s %31s",
+        if (std::sscanf(line.c_str(),
+                        "%%%%MatrixMarket %31s %31s %31s %31s",
                         obj, fmt, fld, sym) != 4) {
             r.error = "invalid Matrix Market header";
             return false;
         }
         for (char *s : {obj, fmt, fld, sym})
             for (char *q = s; *q; ++q) *q = (char)std::tolower(*q);
-        p = eol < end ? eol + 1 : end;
-    }
-    if (std::strcmp(fmt, "coordinate") != 0) {
-        r.error = "only coordinate format is supported natively";
-        return false;
-    }
-    if (std::strcmp(fld, "real") == 0 || std::strcmp(fld, "double") == 0)
-        r.field = 0;
-    else if (std::strcmp(fld, "integer") == 0)
-        r.field = 1;
-    else if (std::strcmp(fld, "pattern") == 0)
-        r.field = 2;
-    else if (std::strcmp(fld, "complex") == 0)
-        r.field = 3;
-    else {
-        r.error = std::string("unsupported field: ") + fld;
-        return false;
-    }
-    if (std::strcmp(sym, "general") == 0) r.symmetry = 0;
-    else if (std::strcmp(sym, "symmetric") == 0) r.symmetry = 1;
-    else if (std::strcmp(sym, "skew-symmetric") == 0) r.symmetry = 2;
-    else if (std::strcmp(sym, "hermitian") == 0) r.symmetry = 3;
-    else {
-        r.error = std::string("unsupported symmetry: ") + sym;
-        return false;
-    }
+        if (std::strcmp(fmt, "coordinate") != 0) {
+            r.error = "only coordinate format is supported natively";
+            return false;
+        }
+        if (!std::strcmp(fld, "real") || !std::strcmp(fld, "double"))
+            r.field = 0;
+        else if (!std::strcmp(fld, "integer"))
+            r.field = 1;
+        else if (!std::strcmp(fld, "pattern"))
+            r.field = 2;
+        else if (!std::strcmp(fld, "complex"))
+            r.field = 3;
+        else {
+            r.error = std::string("unsupported field: ") + fld;
+            return false;
+        }
+        if (!std::strcmp(sym, "general")) r.symmetry = 0;
+        else if (!std::strcmp(sym, "symmetric")) r.symmetry = 1;
+        else if (!std::strcmp(sym, "skew-symmetric")) r.symmetry = 2;
+        else if (!std::strcmp(sym, "hermitian")) r.symmetry = 3;
+        else {
+            r.error = std::string("unsupported symmetry: ") + sym;
+            return false;
+        }
 
-    // Comments, then size line.
-    while (p < end) {
-        p = skip_ws(p, end);
-        if (p < end && *p == '%') { p = next_line(p, end); continue; }
-        if (p < end && *p == '\n') { ++p; continue; }
-        break;
-    }
-    {
+        // Comments, then size line (within the complete-line span;
+        // refill and retry if it is not buffered yet).
+        const char *q = eol < end ? eol + 1 : end;
+        while (q < end) {
+            q = skip_ws(q, end);
+            if (q < end && *q == '%') { q = next_line(q, end); continue; }
+            if (q < end && *q == '\n') { ++q; continue; }
+            break;
+        }
+        const char *size_end = q;
+        while (size_end < end && *size_end != '\n') ++size_end;
+        if (size_end == end && !lb.eof) {
+            if (!lb.refill()) { /* falls through to eof parse */ }
+            continue;
+        }
         // Size-line overflow discipline mirrors the reference
         // (matrix-market.cpp:449-482): reject out-of-range values
         // instead of silently truncating into int32 index storage.
-        char *q;
+        char *after;
         errno = 0;
-        r.rows = std::strtoll(p, &q, 10);
-        r.cols = std::strtoll(q, &q, 10);
-        r.nnz = std::strtoll(q, &q, 10);
+        lb.buf[lb.fill < lb.buf.size() ? lb.fill : lb.buf.size() - 1] =
+            '\0';
+        r.rows = std::strtoll(q, &after, 10);
+        r.cols = std::strtoll(after, &after, 10);
+        r.nnz = std::strtoll(after, &after, 10);
         if (errno == ERANGE) {
             r.error = "integer overflow in size line";
             return false;
         }
-        if (q == p || r.rows < 0 || r.cols < 0 || r.nnz < 0) {
+        if (after == q || r.rows < 0 || r.cols < 0 || r.nnz < 0) {
             r.error = "invalid size line";
             return false;
         }
@@ -223,50 +385,88 @@ bool parse_text(const char *p, const char *end, Result &r) {
             r.error = "matrix dimensions exceed the int32 index range";
             return false;
         }
-        p = next_line(q, end);
-        // an entry line is at least "1 1\n": bail before resize()
-        // tries to allocate storage a lying size line asked for
-        if (r.nnz > (int64_t)(end - p) / 3 + 1) {
-            r.error = "size line claims more entries than the file holds";
-            return false;
-        }
+        const char *consumed = size_end < end ? size_end + 1 : size_end;
+        lb.consume((size_t)(consumed - p));
+        return true;
     }
+}
 
-    r.row_idx.resize(r.nnz);
-    r.col_idx.resize(r.nnz);
-    r.values.resize(r.nnz);
-    char *q = const_cast<char *>(p);
-    char *qend = const_cast<char *>(end);
-    for (int64_t k = 0; k < r.nnz; ++k) {
-        char *next;
-        long long i = std::strtoll(q, &next, 10);
-        if (next == q) { r.error = "truncated entries"; return false; }
-        q = next;
-        long long j = std::strtoll(q, &next, 10);
-        if (next == q) { r.error = "truncated entries"; return false; }
-        q = next;
-        double v = 1.0;
-        if (r.field == 0 || r.field == 3) {
-            v = std::strtod(q, &next);
-            if (next == q) { r.error = "truncated entries"; return false; }
-            q = next;
-            if (r.field == 3) {  // skip imaginary part
-                std::strtod(q, &next);
-                q = next;
+bool parse_entries(LineBuffer &lb, Result &r) {
+    // Storage grows in slabs so a lying size line in a compressed
+    // file cannot force a giant upfront allocation (the reference's
+    // whole-file path can bound nnz by the file size; a stream
+    // cannot).
+    int64_t k = 0;
+    constexpr int64_t SLAB = 4 << 20;
+    while (k < r.nnz) {
+        if ((int64_t)r.row_idx.size() <= k) {
+            int64_t upto = k + SLAB < r.nnz ? k + SLAB : r.nnz;
+            r.row_idx.resize((size_t)upto);
+            r.col_idx.resize((size_t)upto);
+            r.values.resize((size_t)upto);
+        }
+        size_t n = lb.usable();
+        if (n == 0) {
+            if (!lb.refill()) {
+                if (lb.eof && lb.fill > 0)
+                    continue;  // final line has no trailing newline:
+                               // at EOF the remainder becomes usable
+                r.error = "size line claims more entries than the "
+                          "file holds";
+                return false;
             }
-        } else if (r.field == 1) {
-            v = (double)std::strtoll(q, &next, 10);
-            if (next == q) { r.error = "truncated entries"; return false; }
+            continue;
+        }
+        // NUL-terminate the complete-line span so strtoll/strtod
+        // cannot run past it.
+        char saved = lb.buf[n];
+        lb.buf[n] = '\0';
+        char *q = lb.buf.data();
+        char *qend = lb.buf.data() + n;
+        while (k < r.nnz && q < qend) {
+            while (q < qend && (*q == ' ' || *q == '\t' ||
+                                *q == '\r' || *q == '\n'))
+                ++q;  // blank lines must be consumed, not re-buffered
+            if (q == qend) break;
+            char *next;
+            long long i = std::strtoll(q, &next, 10);
+            if (next == q) break;  // no complete token left
+            long long j = std::strtoll(next, &next, 10);
+            double v = 1.0;
+            if (r.field == 0 || r.field == 3) {
+                v = std::strtod(next, &next);
+                if (r.field == 3) std::strtod(next, &next);  // imag
+            } else if (r.field == 1) {
+                v = (double)std::strtoll(next, &next, 10);
+            }
+            if (i < 1 || i > r.rows || j < 1 || j > r.cols) {
+                r.error = "matrix entry index out of bounds";
+                lb.buf[n] = saved;
+                return false;
+            }
+            if ((int64_t)r.row_idx.size() <= k) {
+                int64_t upto = k + SLAB < r.nnz ? k + SLAB : r.nnz;
+                r.row_idx.resize((size_t)upto);
+                r.col_idx.resize((size_t)upto);
+                r.values.resize((size_t)upto);
+            }
+            r.row_idx[(size_t)k] = (int32_t)i;
+            r.col_idx[(size_t)k] = (int32_t)j;
+            r.values[(size_t)k] = v;
+            ++k;
             q = next;
         }
-        if (i < 1 || i > r.rows || j < 1 || j > r.cols) {
-            r.error = "matrix entry index out of bounds";
+        lb.buf[n] = saved;
+        size_t used = (size_t)(q - lb.buf.data());
+        if (used == 0 && lb.eof) {
+            r.error = "truncated entries";
             return false;
         }
-        r.row_idx[k] = (int32_t)i;
-        r.col_idx[k] = (int32_t)j;
-        r.values[k] = v;
-        (void)qend;
+        if (used == 0 && !lb.refill()) {
+            r.error = "truncated entries";
+            return false;
+        }
+        lb.consume(used);
     }
     return true;
 }
@@ -277,26 +477,29 @@ extern "C" {
 
 void *mmparse_parse_file(const char *path, char *errbuf, int errlen) {
     auto *r = new Result();
-    std::vector<uint8_t> raw;
-    if (!read_file(path, raw, r->error)) goto fail;
-
     {
-        std::vector<uint8_t> text;
-        const std::vector<uint8_t> *data = &raw;
-        std::vector<uint8_t> inflated;
-        if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
-            if (!gunzip(raw, inflated, r->error)) goto fail;
-            data = &inflated;
+        FileSource file;
+        if (!file.open(path)) {
+            r->error = file.err;
+            goto fail;
         }
-        size_t off = 0, len = data->size();
-        if (is_tar(*data)) {
-            if (!tar_find(*data, ".mtx", off, len)) {
-                r->error = "no .mtx member in tar archive";
-                goto fail;
-            }
+        InflateSource inflater;
+        if (!inflater.init(&file)) {
+            r->error = inflater.err;
+            goto fail;
         }
-        const char *p = (const char *)data->data() + off;
-        if (!parse_text(p, p + len, *r)) goto fail;
+        MemberSource member;
+        if (!member.init(&inflater, ".mtx")) {
+            r->error = member.err.empty() ? inflater.err : member.err;
+            goto fail;
+        }
+        LineBuffer lb(&member);
+        if (!parse_header(lb, *r)) goto fail;
+        if (!parse_entries(lb, *r)) goto fail;
+        if (!inflater.err.empty()) {
+            r->error = inflater.err;
+            goto fail;
+        }
     }
     return r;
 
@@ -313,6 +516,7 @@ int64_t mmparse_cols(void *h) { return ((Result *)h)->cols; }
 int64_t mmparse_nnz(void *h) { return ((Result *)h)->nnz; }
 int mmparse_field(void *h) { return ((Result *)h)->field; }
 int mmparse_symmetry(void *h) { return ((Result *)h)->symmetry; }
+int mmparse_streaming(void *h) { (void)h; return 1; }
 
 void mmparse_copy(void *h, int32_t *rows, int32_t *cols, double *vals) {
     Result *r = (Result *)h;

@@ -160,3 +160,61 @@ def test_cli_profile_with_native_ingest(tmp_path, monkeypatch):
     assert rc == 0
     doc = json.loads(out.getvalue())
     assert doc["kernel"]["nonzeros"] == 6
+
+
+def test_native_streaming_multichunk(tmp_path):
+    """Files larger than the 256 KB pull chunk stream correctly
+    (partial lines carry across chunk refills; gz and tar.gz framing
+    cross chunk boundaries)."""
+    import gzip
+    import io
+    import tarfile
+
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.io.matrix_market import write_matrix_market
+
+    mm = random_sparse(4000, 4000, 20, seed=13)   # ~1.6 MB of text
+    buf = io.StringIO()
+    write_matrix_market(mm, buf)
+    data = buf.getvalue().encode()
+    assert len(data) > 3 * 256 * 1024
+
+    plain = tmp_path / "big.mtx"
+    plain.write_bytes(data)
+    gz = tmp_path / "big.mtx.gz"
+    gz.write_bytes(gzip.compress(data))
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        # a decoy member first, so the scanner must skip real data
+        decoy = b"not a matrix\n" * 20000
+        ti = tarfile.TarInfo("big/README.txt")
+        ti.size = len(decoy)
+        t.addfile(ti, io.BytesIO(decoy))
+        ti = tarfile.TarInfo("big/big.mtx")
+        ti.size = len(data)
+        t.addfile(ti, io.BytesIO(data))
+    targz = tmp_path / "big.tar.gz"
+    targz.write_bytes(gzip.compress(tbuf.getvalue()))
+
+    for p in (plain, gz, targz):
+        got = native.load_matrix_native(p)
+        assert got.num_rows == mm.num_rows
+        assert got.num_entries == mm.num_entries
+        np.testing.assert_array_equal(got.rows_1based, mm.rows_1based)
+        np.testing.assert_array_equal(got.cols_1based, mm.cols_1based)
+        np.testing.assert_allclose(got.values, mm.values)
+
+
+def test_native_no_trailing_newline(tmp_path):
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    p = tmp_path / "nt.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "2 2 2\n1 1 3.5\n2 2 -1.25"   # no final newline
+    )
+    got = native.load_matrix_native(p)
+    assert got.num_entries == 2
+    np.testing.assert_allclose(got.values, [3.5, -1.25])
