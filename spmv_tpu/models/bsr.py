@@ -1,15 +1,19 @@
-"""BSR: block-sparse rows with dense (128, 128) blocks — the MXU format.
+"""BSR: block-sparse rows with dense (block_rows, 128) blocks — the MXU format.
 
 Third TPU-native format (with DIA and WELL; no reference counterpart —
 the reference's formats are all entry-wise, SURVEY.md §2).  SpMV is
 bandwidth-bound and belongs to DIA/WELL; BSR exists for the workloads
 where the MXU matters: matrices with *dense block structure* (FEM,
 multi-dof meshes) multiplied against **blocks of vectors** (SpMM).
-Each stored block is a dense 128x128 tile, and the kernel's inner op is
+Each stored block is a dense (block_rows, 128) tile — block_rows is
+any multiple of 8 up to 128 (narrower blocks trade MXU utilization for
+less zero fill on finer-grained structure) — and the kernel's inner op
 
-    Y_block(128, k) += A_block(128, 128) @ X_block(128, k)
+    Y_block(block_rows, k) += A_block(block_rows, 128) @ X_block(128, k)
 
-— a native systolic-array matmul at full utilization when k ~ 128.
+is a native systolic-array matmul at full utilization when
+block_rows = k = 128.  ``block_rows="auto"`` picks the height with the
+lowest storage fill.
 
 Storage: ``block_col`` / ``block_rowptr`` index nonzero blocks in
 block-row-major order; ``blocks`` holds them dense.  ``fill_ratio``
@@ -38,25 +42,29 @@ class BsrMatrix:
     num_rows: int
     num_columns: int
     num_entries: int
-    blocks: np.ndarray        # (NB, 128, 128) float64, dense blocks
+    blocks: np.ndarray        # (NB, block_rows, 128) float64 dense
     block_col: np.ndarray     # (NB,) int32 block-column index
     block_rowptr: np.ndarray  # (num_block_rows + 1,) int64
+    block_rows: int = BLOCK   # block height (multiple of 8, <= 128)
 
     format_name = "bsr"
 
     # ------------------------------------------------------------------
     @classmethod
     def from_matrix_market(
-        cls, mm: MatrixMarket, max_fill: float | None = None
+        cls, mm: MatrixMarket, max_fill: float | None = None,
+        block_rows: int | str = BLOCK,
     ) -> "BsrMatrix":
         rows, cols, vals, row_ptr = sorted_entries_0based(mm)
         return cls._build(
-            mm.num_rows, mm.num_columns, rows, cols, vals, max_fill
+            mm.num_rows, mm.num_columns, rows, cols, vals, max_fill,
+            block_rows,
         )
 
     @classmethod
     def from_csr(
-        cls, m: CsrMatrix, max_fill: float | None = None
+        cls, m: CsrMatrix, max_fill: float | None = None,
+        block_rows: int | str = BLOCK,
     ) -> "BsrMatrix":
         if int(m.row_ptr[-1]) != m.num_entries:
             raise MatrixError("BsrMatrix.from_csr requires unpadded CSR")
@@ -66,30 +74,55 @@ class BsrMatrix:
         return cls._build(
             m.num_rows, m.num_columns, rows,
             np.asarray(m.column_index, np.int64),
-            np.asarray(m.value), max_fill,
+            np.asarray(m.value), max_fill, block_rows,
         )
 
-    @classmethod
-    def _build(cls, num_rows, num_columns, rows, cols, vals, max_fill):
+    @staticmethod
+    def choose_block_rows(rows, cols, num_columns) -> int:
+        """The block height (of 8..128) with the lowest storage fill
+        for this sparsity pattern (stored slots per nonzero)."""
         rows = np.asarray(rows, np.int64)
         cols = np.asarray(cols, np.int64)
-        nbr = max(-(-num_rows // BLOCK), 1)
-        bi = rows // BLOCK
+        ncb = num_columns // BLOCK + 1
+        best_bh, best_fill = BLOCK, np.inf
+        for bh in (128, 64, 32, 16, 8):
+            key = (rows // bh) * ncb + cols // BLOCK
+            nb = np.unique(key).size
+            fill = nb * bh * BLOCK / max(rows.size, 1)
+            if fill < best_fill:
+                best_bh, best_fill = bh, fill
+        return best_bh
+
+    @classmethod
+    def _build(cls, num_rows, num_columns, rows, cols, vals, max_fill,
+               block_rows=BLOCK):
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        if block_rows == "auto":
+            block_rows = cls.choose_block_rows(rows, cols, num_columns)
+        bh = int(block_rows)
+        if bh <= 0 or bh > BLOCK or bh % 8:
+            raise MatrixError(
+                f"block_rows must be a multiple of 8 in [8, {BLOCK}]; "
+                f"got {block_rows!r}"
+            )
+        nbr = max(-(-num_rows // bh), 1)
+        bi = rows // bh
         bj = cols // BLOCK
         key = bi * (num_columns // BLOCK + 1) + bj
         uniq, inv = np.unique(key, return_inverse=True)
         nb = uniq.size
         if max_fill is not None and vals.size:
-            fill = nb * BLOCK * BLOCK / vals.size
+            fill = nb * bh * BLOCK / vals.size
             if fill > max_fill:
                 raise MatrixError(
                     f"BSR fill ratio {fill:.1f} exceeds max_fill="
                     f"{max_fill}; the matrix has no dense block "
                     "structure — use WELL/CSR instead"
                 )
-        blocks = np.zeros((max(nb, 1), BLOCK, BLOCK), dtype=VALUE_DTYPE)
+        blocks = np.zeros((max(nb, 1), bh, BLOCK), dtype=VALUE_DTYPE)
         np.add.at(
-            blocks, (inv, rows % BLOCK, cols % BLOCK), vals
+            blocks, (inv, rows % bh, cols % BLOCK), vals
         )
         u_bi = (uniq // (num_columns // BLOCK + 1)).astype(np.int64)
         u_bj = (uniq % (num_columns // BLOCK + 1)).astype(np.int32)
@@ -109,7 +142,7 @@ class BsrMatrix:
             )
             blocks = np.concatenate([
                 blocks,
-                np.zeros((empty.size, BLOCK, BLOCK), dtype=VALUE_DTYPE),
+                np.zeros((empty.size, bh, BLOCK), dtype=VALUE_DTYPE),
             ])
             order = np.argsort(u_bi, kind="stable")
             u_bi, u_bj, blocks = u_bi[order], u_bj[order], blocks[order]
@@ -123,6 +156,7 @@ class BsrMatrix:
             blocks=blocks,
             block_col=u_bj,
             block_rowptr=rowptr,
+            block_rows=bh,
         )
 
     # ------------------------------------------------------------------
@@ -150,12 +184,13 @@ class BsrMatrix:
         Xp = np.zeros((ncb * BLOCK, k), dtype=np.result_type(
             self.blocks, X))
         Xp[: X.shape[0]] = X
-        Y = np.zeros((self.num_block_rows * BLOCK, k), dtype=Xp.dtype)
+        bh = self.block_rows
+        Y = np.zeros((self.num_block_rows * bh, k), dtype=Xp.dtype)
         for br in range(self.num_block_rows):
             s, e = self.block_rowptr[br], self.block_rowptr[br + 1]
             for t in range(s, e):
                 bj = int(self.block_col[t])
-                Y[br * BLOCK:(br + 1) * BLOCK] += (
+                Y[br * bh:(br + 1) * bh] += (
                     self.blocks[t] @ Xp[bj * BLOCK:(bj + 1) * BLOCK]
                 )
         return Y[: self.num_rows]

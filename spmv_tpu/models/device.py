@@ -847,7 +847,7 @@ def device_put_matrix(m, dtype=None, **kw):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_col", "block_row"],
-    meta_fields=["num_rows", "num_columns", "num_entries", "num_blocks",
+    meta_fields=["num_rows", "num_columns", "num_entries", "num_blocks", "block_rows",
                  "num_block_rows", "num_block_cols", "blocks_per_step"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -867,7 +867,8 @@ class DeviceBsr:
     num_block_rows: int
     num_block_cols: int
     blocks_per_step: int      # KB: blocks fused into one grid step
-    blocks: jax.Array      # (NB, 128, 128)
+    block_rows: int           # block height (multiple of 8, <= 128)
+    blocks: jax.Array      # (NB, block_rows, 128)
     block_col: jax.Array   # (NB,) int32
     block_row: jax.Array   # (NB // KB,) int32 per-STEP block row
     format_name = "bsr"
@@ -881,10 +882,11 @@ class DeviceBsr:
         dtype = dtype or default_value_dtype()
         kb = max(int(blocks_per_step), 1)
 
+        bh = int(getattr(m, "block_rows", BLOCK))
         counts = np.diff(m.block_rowptr)
         pads = (-counts) % kb
         nb_padded = int((counts + pads).sum())
-        blocks = np.zeros((nb_padded, BLOCK, BLOCK), m.blocks.dtype)
+        blocks = np.zeros((nb_padded, bh, BLOCK), m.blocks.dtype)
         bcol = np.zeros(nb_padded, dtype=np.int32)
         step_row = []
         pos = 0
@@ -905,6 +907,7 @@ class DeviceBsr:
             num_block_rows=m.num_block_rows,
             num_block_cols=-(-m.num_columns // BLOCK),
             blocks_per_step=kb,
+            block_rows=bh,
             blocks=jnp.asarray(blocks, dtype=dtype),
             block_col=jnp.asarray(bcol),
             block_row=jnp.asarray(

@@ -814,7 +814,7 @@ def dia_spmm(
 
 
 # ----------------------------------------------------------------------
-# BSR SpMM: dense (128, 128) blocks on the MXU — see models.bsr.
+# BSR SpMM: dense (block_rows, 128) blocks on the MXU — see models.bsr.
 # Per grid step t: Y[brow[t]] += blocks[t] @ X[bcol[t]], a native
 # systolic-array matmul; X and Y tiles ride BlockSpec pipelines with
 # index maps driven by the prefetched block coordinate arrays, and
@@ -860,6 +860,7 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
     ).reshape(ncb, LANE, k)
 
     kb = A.blocks_per_step
+    bh = A.block_rows
     kernel = functools.partial(
         _bsr_spmm_kernel, kb=kb, dtype=A.blocks.dtype
     )
@@ -878,19 +879,19 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
             grid=(A.num_blocks // kb,),
             in_specs=x_specs + [
                 pl.BlockSpec(
-                    (kb, LANE, LANE),
+                    (kb, bh, LANE),
                     lambda t, bc, br: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, LANE, k),
+                (1, bh, k),
                 lambda t, bc, br: (br[t], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (A.num_block_rows, LANE, k), A.blocks.dtype
+            (A.num_block_rows, bh, k), A.blocks.dtype
         ),
         interpret=interpret,
     )(A.block_col, A.block_row, *([x3d] * kb), A.blocks)

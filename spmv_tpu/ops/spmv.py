@@ -182,7 +182,8 @@ def spmv_padded(A, x: jax.Array) -> jax.Array:
     if isinstance(A, DeviceBsr):
         # keep the padded-length contract (tail rows are exact zeros)
         y = spmm(A, x[:, None])[:, 0]
-        return jnp.pad(y, (0, A.num_block_rows * LANE - A.num_rows))
+        return jnp.pad(
+            y, (0, A.num_block_rows * A.block_rows - A.num_rows))
     raise TypeError(f"unsupported device matrix type: {type(A)!r}")
 
 

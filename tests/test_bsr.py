@@ -133,3 +133,59 @@ def test_spmv_padded_returns_padded_block_rows():
     np.testing.assert_allclose(
         y[: A.num_rows], np.asarray(spmv(A, jnp.asarray(x))), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("bh", [8, 32, 128])
+def test_variable_block_rows_parity(bh):
+    """Narrow block heights: host/XLA/Pallas agree and fill improves
+    on fine-grained block structure."""
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.models.bsr import BsrMatrix
+    from spmv_tpu.models.device import DeviceBsr
+    from spmv_tpu.ops import spmm
+
+    # a matrix of dense 8x128 blocklets scattered randomly
+    rng = np.random.default_rng(bh)
+    n = 1024
+    base = random_sparse(n // 8, n // 128, 2, seed=bh)
+    rows = np.repeat((base.rows_1based - 1) * 8, 8 * 128) \
+        + np.tile(np.repeat(np.arange(8), 128), base.num_entries)
+    cols = np.repeat((base.cols_1based - 1) * 128, 8 * 128) \
+        + np.tile(np.arange(128), 8 * base.num_entries)
+    vals = rng.standard_normal(rows.size)
+
+    m = BsrMatrix._build(n, n, rows, cols, vals, None, bh)
+    assert m.block_rows == bh
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+    X = rng.standard_normal((n, 3))
+    np.testing.assert_allclose(m.spmm(X), dense @ X, atol=1e-9)
+
+    A = DeviceBsr.from_host(m, dtype=jnp.float32)
+    got_x = np.asarray(spmm(A, jnp.asarray(X.astype(np.float32))))
+    got_p = np.asarray(bsr_spmm(A, jnp.asarray(X.astype(np.float32)),
+                                interpret=True))
+    want = dense @ X
+    scale = max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got_x / scale, want / scale, atol=1e-4)
+    np.testing.assert_allclose(got_p / scale, want / scale, atol=1e-4)
+
+
+def test_block_rows_auto_picks_fine_height():
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.models.bsr import BsrMatrix
+
+    # 8-row blocklets: bh=8 has ~16x less fill than bh=128
+    base = random_sparse(32, 4, 2, seed=3)
+    rows = np.repeat((base.rows_1based - 1) * 8, 8 * 128) \
+        + np.tile(np.repeat(np.arange(8), 128), base.num_entries)
+    cols = np.repeat((base.cols_1based - 1) * 128, 8 * 128) \
+        + np.tile(np.arange(128), 8 * base.num_entries)
+    vals = np.ones(rows.size)
+    m = BsrMatrix._build(256, 512, rows, cols, vals, None, "auto")
+    assert m.block_rows == 8
+    m128 = BsrMatrix._build(256, 512, rows, cols, vals, None, 128)
+    assert m.fill_ratio < m128.fill_ratio
+
+    with pytest.raises(Exception):
+        BsrMatrix._build(256, 512, rows, cols, vals, None, 7)
