@@ -47,6 +47,7 @@ struct Result {
     std::vector<int32_t> row_idx;  // 1-based
     std::vector<int32_t> col_idx;  // 1-based
     std::vector<double> values;
+    std::vector<double> values_imag;  // complex field only
     std::string error;
 };
 
@@ -366,18 +367,26 @@ bool parse_header(LineBuffer &lb, Result &r) {
         // Size-line overflow discipline mirrors the reference
         // (matrix-market.cpp:449-482): reject out-of-range values
         // instead of silently truncating into int32 index storage.
+        // Confine strtoll to the size LINE: with fewer than three
+        // numbers it must error, not consume the next line's tokens.
         char *after;
         errno = 0;
-        lb.buf[lb.fill < lb.buf.size() ? lb.fill : lb.buf.size() - 1] =
-            '\0';
+        size_t se = (size_t)(size_end - p);
+        char saved_se = lb.buf[se];
+        lb.buf[se] = '\0';
         r.rows = std::strtoll(q, &after, 10);
-        r.cols = std::strtoll(after, &after, 10);
-        r.nnz = std::strtoll(after, &after, 10);
+        char *a2;
+        r.cols = std::strtoll(after, &a2, 10);
+        char *a3;
+        r.nnz = std::strtoll(a2, &a3, 10);
+        bool three = after != q && a2 != after && a3 != a2;
+        after = a3;
+        lb.buf[se] = saved_se;
         if (errno == ERANGE) {
             r.error = "integer overflow in size line";
             return false;
         }
-        if (after == q || r.rows < 0 || r.cols < 0 || r.nnz < 0) {
+        if (!three || r.rows < 0 || r.cols < 0 || r.nnz < 0) {
             r.error = "invalid size line";
             return false;
         }
@@ -404,6 +413,7 @@ bool parse_entries(LineBuffer &lb, Result &r) {
             r.row_idx.resize((size_t)upto);
             r.col_idx.resize((size_t)upto);
             r.values.resize((size_t)upto);
+            if (r.field == 3) r.values_imag.resize((size_t)upto);
         }
         size_t n = lb.usable();
         if (n == 0) {
@@ -432,10 +442,10 @@ bool parse_entries(LineBuffer &lb, Result &r) {
             long long i = std::strtoll(q, &next, 10);
             if (next == q) break;  // no complete token left
             long long j = std::strtoll(next, &next, 10);
-            double v = 1.0;
+            double v = 1.0, vi = 0.0;
             if (r.field == 0 || r.field == 3) {
                 v = std::strtod(next, &next);
-                if (r.field == 3) std::strtod(next, &next);  // imag
+                if (r.field == 3) vi = std::strtod(next, &next);
             } else if (r.field == 1) {
                 v = (double)std::strtoll(next, &next, 10);
             }
@@ -449,10 +459,12 @@ bool parse_entries(LineBuffer &lb, Result &r) {
                 r.row_idx.resize((size_t)upto);
                 r.col_idx.resize((size_t)upto);
                 r.values.resize((size_t)upto);
+                if (r.field == 3) r.values_imag.resize((size_t)upto);
             }
             r.row_idx[(size_t)k] = (int32_t)i;
             r.col_idx[(size_t)k] = (int32_t)j;
             r.values[(size_t)k] = v;
+            if (r.field == 3) r.values_imag[(size_t)k] = vi;
             ++k;
             q = next;
         }
@@ -475,7 +487,13 @@ bool parse_entries(LineBuffer &lb, Result &r) {
 
 extern "C" {
 
-void *mmparse_parse_file(const char *path, char *errbuf, int errlen) {
+// ``member`` selects the tar member by name suffix; the Python loader
+// passes the reference's SuiteSparse convention "<stem>/<stem>.mtx"
+// (matrix-market.cpp:760-764) so an auxiliary member like
+// "<stem>/<stem>_b.mtx" stored first cannot be picked by accident.
+// NULL/"" falls back to the first ".mtx" member.
+void *mmparse_parse_file_member(const char *path, const char *member,
+                                char *errbuf, int errlen) {
     auto *r = new Result();
     {
         FileSource file;
@@ -488,12 +506,14 @@ void *mmparse_parse_file(const char *path, char *errbuf, int errlen) {
             r->error = inflater.err;
             goto fail;
         }
-        MemberSource member;
-        if (!member.init(&inflater, ".mtx")) {
-            r->error = member.err.empty() ? inflater.err : member.err;
+        MemberSource memsrc;
+        const char *suffix =
+            (member && member[0]) ? member : ".mtx";
+        if (!memsrc.init(&inflater, suffix)) {
+            r->error = memsrc.err.empty() ? inflater.err : memsrc.err;
             goto fail;
         }
-        LineBuffer lb(&member);
+        LineBuffer lb(&memsrc);
         if (!parse_header(lb, *r)) goto fail;
         if (!parse_entries(lb, *r)) goto fail;
         if (!inflater.err.empty()) {
@@ -518,11 +538,24 @@ int mmparse_field(void *h) { return ((Result *)h)->field; }
 int mmparse_symmetry(void *h) { return ((Result *)h)->symmetry; }
 int mmparse_streaming(void *h) { (void)h; return 1; }
 
+void mmparse_copy_imag(void *h, double *vals_imag) {
+    Result *r = (Result *)h;
+    if (!r->values_imag.empty())
+        std::memcpy(vals_imag, r->values_imag.data(),
+                    r->nnz * sizeof(double));
+    else
+        std::memset(vals_imag, 0, r->nnz * sizeof(double));
+}
+
 void mmparse_copy(void *h, int32_t *rows, int32_t *cols, double *vals) {
     Result *r = (Result *)h;
     std::memcpy(rows, r->row_idx.data(), r->nnz * sizeof(int32_t));
     std::memcpy(cols, r->col_idx.data(), r->nnz * sizeof(int32_t));
     std::memcpy(vals, r->values.data(), r->nnz * sizeof(double));
+}
+
+void *mmparse_parse_file(const char *path, char *errbuf, int errlen) {
+    return mmparse_parse_file_member(path, nullptr, errbuf, errlen);
 }
 
 void mmparse_free(void *h) { delete (Result *)h; }

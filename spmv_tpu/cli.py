@@ -337,15 +337,15 @@ def _profile(args, out) -> None:
         step, fargs = kernel.spmm_fn(args.spmm)
         op_info = {"kind": "spmm", "k": args.spmm}
         # k products share one matrix stream; x/y volume scales with
-        # k, priced at the same per-element VAL model bytes_per_run
-        # uses (mixing conventions skews the roofline).
-        from spmv_tpu.perfmodel.refstring import VAL as _VAL
+        # k, priced at the same device-dtype model bytes_per_run uses
+        # (mixing conventions skews the roofline).
+        from spmv_tpu.kernels import _dev_val_bytes
 
         m = kernel.matrix
         flops_override = args.spmm * kernel.flops_per_run()
         bytes_override = kernel.bytes_per_run() + (args.spmm - 1) * (
             m.num_columns + m.num_rows
-        ) * _VAL
+        ) * _dev_val_bytes()
     else:
         step, fargs = kernel.run_fn()
 

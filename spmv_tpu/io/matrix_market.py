@@ -240,24 +240,62 @@ def parse_matrix_market(
             raise MatrixError(f"invalid size line: {stripped!r}")
         num_rows, num_cols = (int(p) for p in size_parts)
         num_entries = num_rows * num_cols
+    # Indices are stored int32 (the reference's index_type); reject
+    # dimensions that would silently wrap (matrix-market.cpp:458-479).
+    if num_rows > np.iinfo(INDEX_DTYPE).max \
+            or num_cols > np.iinfo(INDEX_DTYPE).max:
+        raise MatrixError(
+            "matrix dimensions exceed the int32 index range"
+        )
 
     body = text[pos:]
 
     if fmt == "array":
-        vals = _tokens_to_floats(body)
-        if vals.size != num_entries:
+        # Non-general array files store only the lower triangle,
+        # column-major: rows j..n per column (j+1..n for
+        # skew-symmetric, whose diagonal is implicit zero) — MM spec
+        # section on array symmetry.
+        per = 2 if field == "complex" else 1
+        if symmetry == "general":
+            num_entries = num_rows * num_cols
+        else:
+            if num_rows != num_cols:
+                raise MatrixError(
+                    f"{symmetry} array matrices must be square"
+                )
+            if symmetry == "skew-symmetric":
+                num_entries = num_rows * (num_rows - 1) // 2
+            else:
+                num_entries = num_rows * (num_rows + 1) // 2
+        raw = _tokens_to_floats(body)
+        if raw.size != num_entries * per:
             raise MatrixError(
-                f"expected {num_entries} array values, got {vals.size}"
+                f"expected {num_entries * per} array values, got "
+                f"{raw.size}"
             )
-        # Array format is column-major dense; synthesize coordinates.
-        cols, rows = np.meshgrid(
-            np.arange(1, num_cols + 1), np.arange(1, num_rows + 1)
-        )
+        vals = raw[0::per]
+        imag = raw[1::per].astype(VALUE_DTYPE) if per == 2 else None
+        if symmetry == "general":
+            cols, rows = np.meshgrid(
+                np.arange(1, num_cols + 1), np.arange(1, num_rows + 1)
+            )
+            rr = rows.T.ravel()
+            cc = cols.T.ravel()
+        else:
+            lo = 1 if symmetry == "skew-symmetric" else 0
+            n = num_rows
+            cc = np.repeat(
+                np.arange(1, n + 1),
+                np.arange(n, 0, -1) - lo,
+            )
+            rr = np.concatenate(
+                [np.arange(j + lo, n + 1) for j in range(1, n + 1)]
+            ) if n else np.zeros(0, dtype=np.int64)
         mm = MatrixMarket(
             obj, fmt, field, symmetry, num_rows, num_cols, num_entries,
-            rows.T.ravel().astype(INDEX_DTYPE),
-            cols.T.ravel().astype(INDEX_DTYPE),
-            vals.astype(VALUE_DTYPE), None, tuple(comments),
+            np.asarray(rr).astype(INDEX_DTYPE),
+            np.asarray(cc).astype(INDEX_DTYPE),
+            vals.astype(VALUE_DTYPE), imag, tuple(comments),
         )
         return mm.expand_symmetry() if expand_symmetry else mm
 

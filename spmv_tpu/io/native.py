@@ -71,6 +71,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mmparse_parse_file.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int
         ]
+        try:
+            lib.mmparse_parse_file_member.restype = ctypes.c_void_p
+            lib.mmparse_parse_file_member.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_int,
+            ]
+            lib.mmparse_copy_imag.restype = None
+            lib.mmparse_copy_imag.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)
+            ]
+        except AttributeError:
+            return None  # stale .so from pre-streaming sources
         for f in ("mmparse_rows", "mmparse_cols", "mmparse_nnz"):
             getattr(lib, f).restype = ctypes.c_int64
             getattr(lib, f).argtypes = [ctypes.c_void_p]
@@ -101,8 +113,21 @@ def load_matrix_native(
     if lib is None:
         raise MatrixError("native mmparse library unavailable")
     errbuf = ctypes.create_string_buffer(512)
-    h = lib.mmparse_parse_file(
-        os.fspath(path).encode(), errbuf, len(errbuf)
+    # SuiteSparse member convention (matrix-market.cpp:760-764): a
+    # tarball <stem>.tar.gz holds <stem>/<stem>.mtx — select exactly
+    # that member so auxiliary matrices (e.g. <stem>_b.mtx) stored
+    # earlier in the archive cannot be picked by accident.
+    spath = os.fspath(path)
+    base = os.path.basename(spath)
+    for ext in (".tar.gz", ".tgz"):
+        if base.endswith(ext):
+            stem = base[: -len(ext)]
+            member = f"{stem}/{stem}.mtx".encode()
+            break
+    else:
+        member = b""
+    h = lib.mmparse_parse_file_member(
+        spath.encode(), member, errbuf, len(errbuf)
     )
     if not h:
         raise MatrixError(
@@ -124,6 +149,12 @@ def load_matrix_native(
             ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
+        imag = None
+        if field == "complex":
+            imag = np.empty(nnz, dtype=np.float64)
+            lib.mmparse_copy_imag(
+                h, imag.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            )
     finally:
         lib.mmparse_free(h)
 
@@ -140,5 +171,6 @@ def load_matrix_native(
         rows_1based=ri,
         cols_1based=ci,
         values=vals,
+        values_imag=imag,
     )
     return mm.expand_symmetry() if expand_symmetry else mm

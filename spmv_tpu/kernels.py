@@ -277,11 +277,12 @@ class CsrKernel(_MatrixKernel):
     def bytes_per_run(self) -> int:
         m = self.matrix
         stored = int(m.row_ptr[-1])
+        vb = _dev_val_bytes()
         return (
-            stored * (IDX + VAL)          # column_index + value streamed
-            + (m.num_rows + 1) * IDX       # row_ptr
-            + m.num_columns * VAL          # x read at least once
-            + m.num_rows * VAL             # y written
+            stored * (IDX + vb)          # column_index + value streamed
+            + (m.num_rows + 1) * IDX      # row_ptr
+            + m.num_columns * vb          # x read at least once
+            + m.num_rows * vb             # y written
         )
 
 
@@ -332,10 +333,11 @@ class EllKernel(_MatrixKernel):
     def bytes_per_run(self) -> int:
         m = self.matrix
         stored = m.value.size
+        vb = _dev_val_bytes()
         return (
-            stored * (IDX + VAL)
-            + m.num_columns * VAL
-            + m.num_rows * VAL
+            stored * (IDX + vb)
+            + m.num_columns * vb
+            + m.num_rows * vb
         )
 
     def describe(self) -> dict:
@@ -384,10 +386,11 @@ class CooKernel(_MatrixKernel):
 
     def bytes_per_run(self) -> int:
         m = self.matrix
+        vb = _dev_val_bytes()
         return (
-            m.num_entries * (2 * IDX + VAL)
-            + m.num_columns * VAL
-            + m.num_rows * VAL
+            m.num_entries * (2 * IDX + vb)
+            + m.num_columns * vb
+            + m.num_rows * vb
         )
 
 
@@ -453,11 +456,12 @@ class HybridKernel(_MatrixKernel):
 
     def bytes_per_run(self) -> int:
         m = self.matrix
+        vb = _dev_val_bytes()
         return (
-            m.ell_value.size * (IDX + VAL)
-            + m.num_coo_entries * (2 * IDX + VAL)
-            + m.num_columns * VAL
-            + m.num_rows * VAL
+            m.ell_value.size * (IDX + vb)
+            + m.num_coo_entries * (2 * IDX + vb)
+            + m.num_columns * vb
+            + m.num_rows * vb
         )
 
     def describe(self) -> dict:
@@ -539,10 +543,11 @@ class DiaKernel(_MatrixKernel):
 
     def bytes_per_run(self) -> int:
         m = self.matrix
+        vb = _dev_val_bytes()
         return (
-            m.data.size * VAL
-            + m.num_columns * VAL
-            + m.num_rows * VAL
+            m.data.size * vb
+            + m.num_columns * vb
+            + m.num_rows * vb
         )
 
     def describe(self) -> dict:
@@ -610,10 +615,11 @@ class WellKernel(_MatrixKernel):
 
     def bytes_per_run(self) -> int:
         m = self.matrix
-        b = m.value.size * (VAL + IDX)
+        vb = _dev_val_bytes()
+        b = m.value.size * (vb + IDX)
         if m.spill is not None:
-            b += m.spill.num_entries * (VAL + IDX)
-        return b + (m.num_columns + m.num_rows) * VAL
+            b += m.spill.num_entries * (vb + IDX)
+        return b + (m.num_columns + m.num_rows) * vb
 
     def describe(self) -> dict:
         d = super().describe()
@@ -688,12 +694,13 @@ class WellCwKernel(_MatrixKernel):
 
     def bytes_per_run(self) -> int:
         m = self.matrix
-        b = sum(lv.value.size * (VAL + IDX) for lv in m.levels)
+        vb = _dev_val_bytes()
+        b = sum(lv.value.size * (vb + IDX) for lv in m.levels)
         if m.pool is not None:
-            b += m.pool.value.size * (VAL + 2 * IDX)   # + rowmap
+            b += m.pool.value.size * (vb + 2 * IDX)   # + rowmap
         if m.remainder is not None:
-            b += m.remainder.num_entries * (VAL + IDX)
-        return b + (m.num_columns + m.num_rows) * VAL
+            b += m.remainder.num_entries * (vb + IDX)
+        return b + (m.num_columns + m.num_rows) * vb
 
     def describe(self) -> dict:
         d = super().describe()
@@ -707,6 +714,14 @@ class WellCwKernel(_MatrixKernel):
         d["remainder_fraction"] = self.matrix.remainder_fraction
         d["fill_ratio"] = self.matrix.fill_ratio
         return d
+
+
+def _dev_val_bytes() -> int:
+    """Per-value bytes of the DEVICE arrays profile mode actually runs
+    (f64 under x64, f32 otherwise).  bytes_per_run prices physical
+    device traffic with this; the simulation layouts keep the
+    reference's fp64 VAL so the cache model matches the reference."""
+    return 8 if _x64() else 4
 
 
 def _x64() -> bool:

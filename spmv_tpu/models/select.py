@@ -122,4 +122,26 @@ def auto_format(
     rationale["format"] = "wellcw"
     rationale["wellcw_fill"] = cw.fill_ratio
     rationale["wellcw_remainder"] = cw.remainder_fraction
+
+    # SpMV picks WELL-CW, but if the pattern has dense block structure
+    # an SpMM-heavy caller should consider the MXU format instead —
+    # surface that in the rationale (auto_format cannot know the
+    # workload).
+    from spmv_tpu.models.bsr import BLOCK, BsrMatrix
+
+    rows0 = mm.rows_1based.astype(np.int64) - 1
+    cols0 = mm.cols_1based.astype(np.int64) - 1
+    bh = BsrMatrix.choose_block_rows(rows0, cols0, mm.num_columns)
+    nb = np.unique(
+        (rows0 // bh) * (mm.num_columns // BLOCK + 1) + cols0 // BLOCK
+    ).size
+    bsr_fill = nb * bh * BLOCK / max(mm.num_entries, 1)
+    if bsr_fill <= 4.0:
+        rationale["note"] = (
+            f"dense block structure detected (BSR fill {bsr_fill:.2f} "
+            f"at block_rows={bh}); for SpMM-heavy workloads consider "
+            "-s bsr"
+        )
+        rationale["bsr_fill"] = bsr_fill
+        rationale["bsr_block_rows"] = bh
     return cw, rationale

@@ -102,7 +102,6 @@ class RAND(ReplacementAlgorithm):
         super().__init__(cache_lines, line_size)
         self._set = set(int(l) for l in initial_state)
         self._list: List[int] = list(self._set)
-        self._pos = {l: i for i, l in enumerate(self._list)}
         self._state = np.uint64(seed if seed else 1)
 
     def _next_rand(self) -> int:
@@ -126,10 +125,7 @@ class RAND(ReplacementAlgorithm):
             last = self._list.pop()
             if last != victim:
                 self._list[victim_idx] = last
-                self._pos[last] = victim_idx
-            del self._pos[victim]
         self._set.add(line)
-        self._pos[line] = len(self._list)
         self._list.append(line)
         return 1
 

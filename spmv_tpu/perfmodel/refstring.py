@@ -122,6 +122,12 @@ def csr_spmv_refstring(
     numas = np.full(total, numa_domains[thread], dtype=np.int32)
 
     addrs[0] = row_ptr_a.addresses(lo_row)
+    if rows == 0:
+        # an empty ceil-block partition (trailing threads when
+        # num_threads > rows) still reads row_ptr[start_row] — the
+        # reference emits exactly that one reference
+        # (csr-matrix.cpp:108)
+        return addrs, numas
 
     # Row block base positions: after the initial ref, each row block
     # occupies 2 + 3*len slots.

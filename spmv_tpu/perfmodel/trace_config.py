@@ -113,6 +113,15 @@ class TraceConfig:
                 raise TraceConfigError(
                     f"cache {c.name!r}: size and line_size must be positive"
                 )
+        ids = [t.thread for t in self.thread_affinities]
+        if ids != list(range(len(ids))):
+            # cache_trace and the reference-string generators index
+            # per-thread arrays by the raw thread id, so ids must be
+            # exactly 0..N-1 in order
+            raise TraceConfigError(
+                "thread ids must be 0..N-1 in order; got "
+                f"{ids}"
+            )
         for t in self.thread_affinities:
             if t.cache not in self.caches:
                 raise TraceConfigError(

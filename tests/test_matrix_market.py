@@ -207,3 +207,36 @@ def test_write_expands_symmetry_and_preserves_comments():
     write_matrix_market(back, buf2)
     assert buf2.getvalue().count("% a comment") == 1
     assert "%% a comment" not in buf2.getvalue()
+
+
+def test_array_symmetric_lower_triangle():
+    """Non-general array files store only the lower triangle (MM
+    spec); round-2 review found them rejected outright."""
+    from spmv_tpu.io import parse_matrix_market
+
+    text = ("%%MatrixMarket matrix array real symmetric\n"
+            "2 2\n1.0\n2.0\n3.0\n")
+    mm = parse_matrix_market(text, expand_symmetry=True)
+    dense = np.zeros((2, 2))
+    np.add.at(dense, (mm.rows_1based - 1, mm.cols_1based - 1),
+              mm.values)
+    np.testing.assert_allclose(dense, [[1.0, 2.0], [2.0, 3.0]])
+
+    # skew-symmetric arrays omit the diagonal
+    text = ("%%MatrixMarket matrix array real skew-symmetric\n"
+            "2 2\n5.0\n")
+    mm = parse_matrix_market(text, expand_symmetry=True)
+    dense = np.zeros((2, 2))
+    np.add.at(dense, (mm.rows_1based - 1, mm.cols_1based - 1),
+              mm.values)
+    np.testing.assert_allclose(dense, [[0.0, -5.0], [5.0, 0.0]])
+
+
+def test_int32_dimension_guard():
+    from spmv_tpu.io import parse_matrix_market
+
+    with pytest.raises(MatrixError):
+        parse_matrix_market(
+            "%%MatrixMarket matrix coordinate real general\n"
+            "3000000000 10 1\n1 1 1.0\n"
+        )

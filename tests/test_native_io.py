@@ -218,3 +218,62 @@ def test_native_no_trailing_newline(tmp_path):
     got = native.load_matrix_native(p)
     assert got.num_entries == 2
     np.testing.assert_allclose(got.values, [3.5, -1.25])
+
+
+def test_native_tar_member_convention(tmp_path):
+    """A SuiteSparse tarball's auxiliary member stored FIRST must not
+    be picked: only <stem>/<stem>.mtx counts (round-2 review)."""
+    import gzip
+    import io
+    import tarfile
+
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.io.matrix_market import write_matrix_market
+
+    main = random_sparse(40, 40, 3, seed=1)
+    decoy = random_sparse(7, 7, 2, seed=2)
+
+    def text(mm):
+        buf = io.StringIO()
+        write_matrix_market(mm, buf)
+        return buf.getvalue().encode()
+
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        for name, mm in (("mat/mat_b.mtx", decoy),
+                         ("mat/mat.mtx", main)):
+            d = text(mm)
+            ti = tarfile.TarInfo(name)
+            ti.size = len(d)
+            t.addfile(ti, io.BytesIO(d))
+    p = tmp_path / "mat.tar.gz"
+    p.write_bytes(gzip.compress(tbuf.getvalue()))
+    got = native.load_matrix_native(p)
+    assert got.num_rows == 40 and got.num_entries == main.num_entries
+
+
+def test_native_malformed_size_line(tmp_path):
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    p = tmp_path / "bad.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "4 4\n1 1 1.0\n"
+    )
+    with pytest.raises(MatrixError):
+        native.load_matrix_native(p)
+
+
+def test_native_complex_keeps_imaginary(tmp_path):
+    if not native.available():
+        pytest.skip("no native parser in this environment")
+    p = tmp_path / "c.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate complex general\n"
+        "2 2 2\n1 1 1.5 -2.5\n2 2 0.5 4.0\n"
+    )
+    got = native.load_matrix_native(p)
+    np.testing.assert_allclose(got.values, [1.5, 0.5])
+    np.testing.assert_allclose(got.values_imag, [-2.5, 4.0])

@@ -532,3 +532,53 @@ def test_shipped_config_files_parse():
         cfg = read_trace_config(str(root / name))
         assert cfg.caches and cfg.thread_affinities
         assert cfg.max_cache_size() > 0
+
+
+def test_refstring_empty_thread_blocks():
+    """More threads than rows: trailing threads' ceil-blocks are empty
+    and must yield the reference's single row_ptr read, not crash
+    (round-2 review, reproduced crash)."""
+    from spmv_tpu.io.generate import poisson2d
+    from spmv_tpu.kernels import make_kernel
+    from spmv_tpu.perfmodel.trace_config import parse_trace_config
+
+    cfg = parse_trace_config({
+        "caches": {
+            f"L1-{t}": {"size": 4096, "line_size": 64, "parent": None}
+            for t in range(4)
+        },
+        "num_numa_domains": 1,
+        "thread_affinities": [
+            {"thread": t, "cpu": t, "cache": f"L1-{t}",
+             "numa_domain": 0}
+            for t in range(4)
+        ],
+    })
+    mm = poisson2d(3, 3)   # 9 rows over 4 threads: last block short
+    k = make_kernel("csr", mm=mm)
+    k.init()
+    sizes = []
+    for t in range(4):
+        addrs, numas = k.memory_reference_string(cfg, t, 4)
+        assert addrs.size == numas.size
+        sizes.append(addrs.size)
+    assert sizes[0] > 1
+    # 9 rows / ceil-block 3 -> threads 0..2 hold rows, thread 3 empty
+    assert sizes[3] == 1
+
+
+def test_trace_config_rejects_bad_thread_ids():
+    from spmv_tpu.errors import TraceConfigError
+    from spmv_tpu.perfmodel.trace_config import parse_trace_config
+
+    doc = {
+        "caches": {"L1": {"size": 4096, "line_size": 64,
+                          "parent": None}},
+        "num_numa_domains": 1,
+        "thread_affinities": [
+            {"thread": 1, "cpu": 0, "cache": "L1", "numa_domain": 0},
+            {"thread": 2, "cpu": 1, "cache": "L1", "numa_domain": 0},
+        ],
+    }
+    with pytest.raises(TraceConfigError):
+        parse_trace_config(doc)
