@@ -108,6 +108,13 @@ class Kernel:
         """Minimum HBM traffic of one run (streaming lower bound)."""
         raise NotImplementedError
 
+    def traffic_split(self):
+        """(stream_bytes, resident_rw_bytes): the part of
+        bytes_per_run that streams once per run vs the r+w volume over
+        buffers a chained caller keeps on-chip (the roofline prices
+        them differently — perfmodel.tiling.roofline_time)."""
+        return self.bytes_per_run(), 0
+
     def describe(self) -> dict:
         return {"name": self.name}
 
@@ -193,6 +200,13 @@ class _MatrixKernel(Kernel):
 
     def flops_per_run(self) -> int:
         return 2 * self.matrix.num_entries
+
+    def traffic_split(self):
+        # matrix data streams; the x/y vectors are the chained
+        # iterate (time_kernel chains the step), resident when small
+        m = self.matrix
+        vec = (m.num_columns + m.num_rows) * _dev_val_bytes()
+        return self.bytes_per_run() - vec, vec
 
     def describe(self) -> dict:
         m = self.matrix

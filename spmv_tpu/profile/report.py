@@ -46,9 +46,17 @@ def profiling_report(
     machine = machine or TPU_V5E
     flops = (flops_per_run if flops_per_run is not None
              else kernel.flops_per_run())
-    nbytes = (bytes_per_run if bytes_per_run is not None
-              else kernel.bytes_per_run())
-    roof = roofline_time(nbytes, flops, machine=machine)
+    if bytes_per_run is not None:
+        nbytes = bytes_per_run
+        stream, resident = nbytes, 0
+    else:
+        nbytes = kernel.bytes_per_run()
+        stream, resident = kernel.traffic_split()
+    # residency-aware speed-of-light: the chained iterate stays
+    # on-chip when it fits (roofline_time folds it back into the
+    # stream at the measured r+w rate otherwise)
+    roof = roofline_time(stream, flops, machine=machine,
+                         resident_rw_bytes=resident)
     dev = jax.devices()[0]
     t = seconds_per_iteration
     return {
