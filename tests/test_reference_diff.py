@@ -210,3 +210,36 @@ def test_rectangular_and_targz_match(ref_bin, fixtures, rect_fixtures,
         ref_bin, ["-c", cfg, "-m", m, "--spmv-format", fmt])
     ours = _run_ours(["-c", cfg, "-m", m, "-s", fmt])
     assert ours["cache_misses"] == ref["cache_misses"]
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo", "hybrid"])
+def test_more_threads_than_rows_matches(ref_bin, tmp_path, fmt):
+    """Ceil-block partitions with empty trailing threads (threads >
+    rows) — the round-2 crash case — must match the reference."""
+    from spmv_tpu.io.generate import poisson2d
+    from spmv_tpu.io.matrix_market import write_matrix_market
+
+    m = tmp_path / "tiny.mtx"
+    with open(m, "w") as f:
+        write_matrix_market(poisson2d(3, 3), f)   # 9 rows
+    cfgp = tmp_path / "cfg6.json"
+    caches = {
+        f"L1-{t}": {"size": 8192, "line_size": 64, "parent": None,
+                    "bandwidth": None,
+                    "bandwidth_per_numa_domain": None,
+                    "cache_miss_event": None}
+        for t in range(6)
+    }
+    cfgp.write_text(json.dumps({
+        "name": "t6", "description": "", "num_numa_domains": 2,
+        "caches": caches,
+        "thread_affinities": [
+            {"thread": t, "cpu": t, "cache": f"L1-{t}",
+             "numa_domain": t % 2, "event_groups": []}
+            for t in range(6)
+        ],
+    }))
+    ref = _run_reference(
+        ref_bin, ["-c", str(cfgp), "-m", str(m), "--spmv-format", fmt])
+    ours = _run_ours(["-c", str(cfgp), "-m", str(m), "-s", fmt])
+    assert ours["cache_misses"] == ref["cache_misses"]
