@@ -18,6 +18,7 @@ import numpy as np
 __all__ = [
     "conjugate_gradient",
     "preconditioned_conjugate_gradient",
+    "dia_conjugate_gradient",
     "jacobi_preconditioner",
     "extract_diagonal",
     "CgResult",

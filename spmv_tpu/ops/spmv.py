@@ -161,9 +161,12 @@ def _wellcw_padded(A: DeviceWellCw, x: jax.Array) -> jax.Array:
 def spmv_padded(A, x: jax.Array) -> jax.Array:
     """y = A @ x including the padded tail rows (for sharded callers).
 
-    Returns a vector of length ``A.padded_rows`` (CsrMatrix path: the
-    final overflow row collects the padding garbage; Ell path: padded
-    rows are exact zeros).
+    The padded length is format-specific: CSR/ELL/DIA return
+    ``A.padded_rows`` (CSR's final overflow row collects the padding
+    garbage; the others pad with exact zeros), WELL and WELL-CW return
+    ``num_groups * 128``, and BSR returns
+    ``num_block_rows * block_rows``.  In every case the rows past
+    ``A.num_rows`` are inert (zeros, or the CSR overflow row).
     """
     if isinstance(A, DeviceCsr):
         return _csr_padded(A, x)

@@ -57,9 +57,6 @@ def communication_volume(
         np.arange(m.num_rows, dtype=np.int64), np.diff(m.row_ptr)
     )
     shard_of_row = np.searchsorted(bounds, rows, side="right") - 1
-    owner_of_col = (
-        np.searchsorted(col_bounds, m.column_index, side="right") - 1
-    )
 
     for p in range(P):
         sel = shard_of_row == p

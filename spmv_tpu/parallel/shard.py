@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from spmv_tpu.errors import MatrixError
 from spmv_tpu.models.csr import CsrMatrix
 from spmv_tpu.models.device import default_value_dtype, round_up
 from spmv_tpu.models.partition import (
@@ -117,10 +118,18 @@ def shard_csr(
     else:
         raise ValueError(f"unknown partition strategy {partition!r}")
 
-    if m.num_columns == m.num_rows:
-        col_bounds = bounds
-    else:
-        col_bounds = rows_partition_equal(m.num_columns, num_shards)
+    if m.num_columns != m.num_rows:
+        # The stacked x layout reuses the ROW blocks' R slots per
+        # shard; an independent column split can overflow them and
+        # stack_vector lays x out by row bounds — a correct
+        # rectangular sharding needs its own column layout.  Refuse
+        # loudly rather than return silently wrong products.
+        raise MatrixError(
+            "shard_csr supports square matrices only; run rectangular "
+            "matrices unsharded (ops.spmv) or extend the column "
+            "layout first"
+        )
+    col_bounds = bounds
 
     block_rows = np.diff(bounds)
     block_nnz = m.row_ptr[bounds[1:]] - m.row_ptr[bounds[:-1]]

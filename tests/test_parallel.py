@@ -146,3 +146,17 @@ def test_distributed_helpers_single_process():
     assert info["global_device_count"] == 8  # virtual CPU mesh
     mesh = global_mesh()
     assert mesh.devices.size == 8
+
+
+def test_shard_csr_rejects_rectangular():
+    """The stacked x layout is derived from ROW blocks; a rectangular
+    matrix would silently overflow it (round-2 review) — refuse."""
+    from spmv_tpu.errors import MatrixError
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.models import CsrMatrix
+    from spmv_tpu.parallel import shard_csr
+
+    rect = CsrMatrix.from_matrix_market(random_sparse(64, 256, 3,
+                                                      seed=4))
+    with pytest.raises(MatrixError):
+        shard_csr(rect, 4)
