@@ -439,15 +439,33 @@ bool parse_entries(LineBuffer &lb, Result &r) {
                 ++q;  // blank lines must be consumed, not re-buffered
             if (q == qend) break;
             char *next;
+            char *entry = q;  // reparse point if a later token stalls
             long long i = std::strtoll(q, &next, 10);
             if (next == q) break;  // no complete token left
-            long long j = std::strtoll(next, &next, 10);
+            // Each later token must make progress too: tokens may
+            // legally sit on separate lines (the reference reads
+            // them with operator>>, matrix-market.cpp:508-528), so a
+            // stalled token means the rest of the entry is not
+            // buffered yet -- rewind to the entry start and refill.
+            // At EOF the outer loop turns this into "truncated
+            // entries" instead of silently storing 0.
+            char *prev = next;
+            long long j = std::strtoll(prev, &next, 10);
+            if (next == prev) { q = entry; break; }
             double v = 1.0, vi = 0.0;
             if (r.field == 0 || r.field == 3) {
-                v = std::strtod(next, &next);
-                if (r.field == 3) vi = std::strtod(next, &next);
+                prev = next;
+                v = std::strtod(prev, &next);
+                if (next == prev) { q = entry; break; }
+                if (r.field == 3) {
+                    prev = next;
+                    vi = std::strtod(prev, &next);
+                    if (next == prev) { q = entry; break; }
+                }
             } else if (r.field == 1) {
-                v = (double)std::strtoll(next, &next, 10);
+                prev = next;
+                v = (double)std::strtoll(prev, &next, 10);
+                if (next == prev) { q = entry; break; }
             }
             if (i < 1 || i > r.rows || j < 1 || j > r.cols) {
                 r.error = "matrix entry index out of bounds";
@@ -514,8 +532,14 @@ void *mmparse_parse_file_member(const char *path, const char *member,
             goto fail;
         }
         LineBuffer lb(&memsrc);
-        if (!parse_header(lb, *r)) goto fail;
-        if (!parse_entries(lb, *r)) goto fail;
+        // A mid-file gzip error surfaces to the parser as EOF, so on
+        // ANY failure prefer the inflater's (then the tar layer's)
+        // error over the parser's misleading "file ended early" one.
+        if (!parse_header(lb, *r) || !parse_entries(lb, *r)) {
+            if (!inflater.err.empty()) r->error = inflater.err;
+            else if (!memsrc.err.empty()) r->error = memsrc.err;
+            goto fail;
+        }
         if (!inflater.err.empty()) {
             r->error = inflater.err;
             goto fail;

@@ -291,6 +291,7 @@ def _pack_pool(
     anchors = np.empty((cap, npool), dtype=np.int64)
     idx_all = np.arange(rows.size)
     remaining = idx_all
+    empty_streak = 0
     for k in range(cap):
         a4 = np.minimum(a_low + SUBLANE * (k % npos), a_high)
         anchors[k] = a4
@@ -300,9 +301,16 @@ def _pack_pool(
         cand = (w >= 0) & (w < wd)
         ci = remaining[cand]
         if ci.size == 0:
-            if k >= int(npos.max()):
+            # Pools with different npos sit at different ladder
+            # phases, so a single candidate-free rank does not prove
+            # later ranks are empty too (cell collisions defer
+            # entries to later ranks); only a full cycle of the
+            # widest ladder with no candidates anywhere does.
+            empty_streak += 1
+            if empty_streak >= int(npos.max()):
                 break
             continue
+        empty_streak = 0
         cell = ((pool[ci] * SUBLANE) + w[cand] // d) * GROUP_ROWS \
             + lane[ci]
         order = np.argsort(cell, kind="stable")

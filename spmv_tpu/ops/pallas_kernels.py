@@ -1182,12 +1182,16 @@ def well_spmm(
 #
 # Each chunk has ONE window of 8*d x2d rows.  x is pre-split into d
 # stride-d tables xt[p] = x2d[p::d], so slot s's gather table for
-# phase p is one contiguous, sublane-aligned dynamic slice
-# xt[p][a4 : a4+8] (anchors are multiples of 8 by construction —
-# windows tile the column space).  Per chunk: d x (slice +
-# take_along_axis + phase-select FMA) + one strip scatter; ~10x less
-# VPU work than the per-slot-window WELL kernel, which must assemble
-# its gather tables from 8 single-row slices per window row.
+# phase p is one contiguous dynamic slice xt[p][a4 : a4+8].  Anchors
+# are band-adaptive per-chunk scalars (models.wellcw: each group's
+# rank-k chunk anchors at its own band start/end, and pool ladders
+# step through a pool's span), so the slice start is arbitrary — the
+# kernel relies on Mosaic handling UNALIGNED dynamic sublane slice
+# starts (verified on this chip; arbitrary sublane gathers still
+# miscompile).  Per chunk: d x (slice + take_along_axis +
+# phase-select FMA) + one strip scatter; ~10x less VPU work than the
+# per-slot-window WELL kernel, which must assemble its gather tables
+# from 8 single-row slices per window row.
 # ----------------------------------------------------------------------
 
 

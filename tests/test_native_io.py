@@ -277,3 +277,45 @@ def test_native_complex_keeps_imaginary(tmp_path):
     got = native.load_matrix_native(p)
     np.testing.assert_allclose(got.values, [1.5, 0.5])
     np.testing.assert_allclose(got.values_imag, [-2.5, 4.0])
+
+
+def test_native_missing_value_token_errors(tmp_path):
+    """A complete final line with a missing value field must raise
+    'truncated entries' instead of silently storing 0.0 (the entry
+    parser checks next-pointer progress for every token)."""
+    text = ("%%MatrixMarket matrix coordinate real general\n"
+            "5 5 2\n1 1 2.0\n5 3\n")
+    path = tmp_path / "t.mtx"
+    path.write_text(text)
+    with pytest.raises(MatrixError, match="truncated entries"):
+        native.load_matrix_native(path)
+
+
+def test_native_tokens_across_lines(tmp_path):
+    """Entry tokens may legally sit on separate lines (the reference
+    reads them with operator>>, matrix-market.cpp:508-528)."""
+    text = ("%%MatrixMarket matrix coordinate real general\n"
+            "5 5 2\n1\n1\n2.0\n2 2\n3.5\n")
+    path = tmp_path / "t.mtx"
+    path.write_text(text)
+    mm = native.load_matrix_native(path)
+    np.testing.assert_array_equal(mm.rows_1based, [1, 2])
+    np.testing.assert_array_equal(mm.cols_1based, [1, 2])
+    np.testing.assert_allclose(mm.values, [2.0, 3.5])
+
+
+def test_native_corrupt_gzip_reports_gzip_error(tmp_path):
+    """A mid-file corrupt gzip stream must surface the inflater's
+    error, not the parser's misleading 'size line claims more
+    entries' message."""
+    lines = ["%%MatrixMarket matrix coordinate real general",
+             "1000 1000 3000"]
+    lines += [f"{i % 1000 + 1} {i % 1000 + 1} 1.0" for i in range(3000)]
+    data = gzip.compress("\n".join(lines).encode() + b"\n")
+    corrupted = bytearray(data)
+    for i in range(len(corrupted) // 2, len(corrupted) // 2 + 64):
+        corrupted[i] ^= 0xFF
+    path = tmp_path / "c.mtx.gz"
+    path.write_bytes(bytes(corrupted))
+    with pytest.raises(MatrixError, match="gzip|inflate|truncated gzip"):
+        native.load_matrix_native(path)
