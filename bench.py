@@ -45,6 +45,13 @@ SPMM_TILE_ROWS = 512
 BASELINE_FRACTION = 0.80
 # fp32 |y| checksum over ~84M entries vs the fp64 host reference
 CHECKSUM_RTOL = 1e-4
+# Scattered-matrix gate (VERDICT r2 item 2): the WELL-CW fraction is a
+# FAILING gate, not a rider — regressing the scattered path must turn
+# the bench red.  Floor set just under the round-3 merged-grid result
+# (measured 0.425 at 470 us / 17.8 Gnnz/s) so a regression to the
+# round-2 level (0.405) or below trips it, while ~3% timing noise
+# does not.
+WELLCW_FLOOR = 0.40
 
 
 def main() -> None:
@@ -185,21 +192,40 @@ def _run() -> None:
     t_cw = time_kernel(
         cw_step, (xwd, Acw), k_small=ks, k_large=kl, runs=6
     ).seconds_per_iteration if cw_ok else float("inf")
-    # Stored stream: every level's value+index tiles (and the pool's
-    # rowmap) move once per SpMV; x and y (4 MB each) are resident.
+    # Stored stream: the merged grid's value+index tiles (or every
+    # level's, on the fallback layout), the pools' value+index+rowmap;
+    # x and y (4 MB each) are resident.
     cw_bytes = sum(
         int(lvl.value.size) * (lvl.value.dtype.itemsize + 4)
         for lvl in Acw.levels
     )
-    if Acw.pool is not None:
-        cw_bytes += int(Acw.pool.value.size) * (
-            Acw.pool.value.dtype.itemsize + 8
+    if Acw.merged is not None:
+        cw_bytes += int(Acw.merged.value.size) * (
+            Acw.merged.value.dtype.itemsize + 4
         )
+    for _p in ([Acw.pool] if Acw.pool is not None else []) + list(
+        Acw.tail_pools
+    ):
+        cw_bytes += int(_p.value.size) * (_p.value.dtype.itemsize + 8)
     cw_roof = roofline_time(
         cw_bytes, 2 * cw.num_entries, machine=machine,
         dtype="float32", resident_rw_bytes=2 * 4 * cw_n,
     )
     cw_frac = cw_roof["time_roofline_s"] / t_cw
+    if on_tpu and (not cw_ok or cw_frac < WELLCW_FLOOR):
+        print(json.dumps({
+            "metric": "dia_spmv_roofline_fraction",
+            "value": 0.0,
+            "unit": "fraction_of_hbm_roofline",
+            "vs_baseline": 0.0,
+            "error": (
+                "wellcw gate failed: "
+                + (f"checksum rel err {cw_rel}" if not cw_ok else
+                   f"roofline fraction {cw_frac:.4f} < "
+                   f"{WELLCW_FLOOR}")
+            ),
+        }))
+        return
 
     # Residency-aware roofline for the headline (probes 30-33): the
     # diagonal stream crosses HBM once per SpMV; the aliased x/y

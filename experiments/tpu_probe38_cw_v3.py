@@ -229,13 +229,14 @@ def main():
     if steps_pad != value.shape[0]:
         raise SystemExit("unexpected: ng*cap not divisible by k")
     a_max = int(a4.max(initial=0))
-    xr4 = round_up(max(-(-N // (LANE * d0)), a_max + SUBLANE), SUBLANE)
+    xr4_val = round_up(max(-(-N // (LANE * d0)), a_max + SUBLANE),
+                       SUBLANE)
     # stage anchors step-major for SMEM
     ws = a4.reshape(-1, 1, k).astype(np.int32)
     lvl_args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(ws))
 
     class XT:
-        d, xr4 = d0, xr4
+        d, xr4 = d0, xr4_val
     ng = -(-N // 128)
 
     def step_level(xv, value, loc, ws):

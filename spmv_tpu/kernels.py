@@ -664,12 +664,12 @@ class WellCwKernel(_MatrixKernel):
             lay.allocate(f"value{i}", lv.value.size, VAL)
             lay.allocate(f"local_index{i}", lv.local_index.size, IDX)
             lay.allocate(f"anchor{i}", lv.anchor4.size, IDX)
-        if m.pool is not None:
-            lay.allocate("pool_value", m.pool.value.size, VAL)
-            lay.allocate("pool_local_index",
-                         m.pool.local_index.size, IDX)
-            lay.allocate("pool_anchor", m.pool.anchor4.size, IDX)
-            lay.allocate("pool_rowmap", m.pool.rowmap.size, IDX)
+        for j, p in enumerate(m._pools()):
+            lay.allocate(f"pool{j}_value", p.value.size, VAL)
+            lay.allocate(f"pool{j}_local_index",
+                         p.local_index.size, IDX)
+            lay.allocate(f"pool{j}_anchor", p.anchor4.size, IDX)
+            lay.allocate(f"pool{j}_rowmap", p.rowmap.size, IDX)
         lay.allocate("x", m.num_columns, VAL)
         lay.allocate("y", m.num_rows, VAL)
         if m.remainder is not None:
@@ -710,8 +710,8 @@ class WellCwKernel(_MatrixKernel):
         m = self.matrix
         vb = _dev_val_bytes()
         b = sum(lv.value.size * (vb + IDX) for lv in m.levels)
-        if m.pool is not None:
-            b += m.pool.value.size * (vb + 2 * IDX)   # + rowmap
+        for p in m._pools():
+            b += p.value.size * (vb + 2 * IDX)        # + rowmap
         if m.remainder is not None:
             b += m.remainder.num_entries * (vb + IDX)
         return b + (m.num_columns + m.num_rows) * vb
@@ -723,8 +723,8 @@ class WellCwKernel(_MatrixKernel):
             {"d": lv.d, "chunks": lv.num_chunks}
             for lv in self.matrix.levels
         ]
-        d["pool_chunks"] = (0 if self.matrix.pool is None
-                            else self.matrix.pool.num_chunks)
+        d["pool_chunks"] = sum(
+            p.num_chunks for p in self.matrix._pools())
         d["remainder_fraction"] = self.matrix.remainder_fraction
         d["fill_ratio"] = self.matrix.fill_ratio
         return d

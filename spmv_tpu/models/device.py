@@ -613,14 +613,15 @@ class DeviceCwLevel:
     jax.tree_util.register_dataclass,
     data_fields=["value", "local_index", "anchor4", "rowmap",
                  "block_of_step"],
-    meta_fields=["d", "num_chunks", "chunks_per_step", "xr4"],
+    meta_fields=["d", "num_chunks", "chunks_per_step", "xr4",
+                 "out_rows"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceCwPool:
     """Pooled WELL-CW tail level on device (see models.wellcw
-    CwPoolLevel): chunks shared across the 64 groups of one output
-    block; ``rowmap`` carries each cell's global group so the kernel
-    scatters per slot row instead of per chunk."""
+    CwPoolLevel): chunks shared across the ``out_rows`` groups of one
+    output block; ``rowmap`` carries each cell's global group so the
+    kernel scatters per slot row instead of per chunk."""
 
     d: int
     num_chunks: int
@@ -631,11 +632,53 @@ class DeviceCwPool:
     anchor4: jax.Array        # (steps, 1, K) int32
     rowmap: jax.Array         # (chunks, 8, 128) int32: global group
     block_of_step: jax.Array  # (steps,) int32
+    out_rows: int = 64        # groups per output block == pool width
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "pool", "remainder"],
+    data_fields=["value", "local_index", "anchor4"],
+    meta_fields=["d", "kl", "cap", "lvl_per_block", "pool_per_block",
+                 "num_blocks", "xr4"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceCwMerged:
+    """Merged WELL-CW grid: level + stage-1 pool in ONE pallas grid.
+
+    Probes 46-48: the separate level/pool calls pay ~280 ns/step grid
+    overhead and poor DMA/compute interleaving; with the dense-slot
+    level (every group emits exactly ``cap`` chunks) and the capped
+    stage-1 pool (exactly ``pool_per_block`` padded chunks per
+    64-group block), every output block is a single static
+    ``kl = 64*cap + pool_per_block``-chunk grid step:
+
+      - chunk kk < lvl_per_block: level chunk of group
+        ``block*64 + kk//cap`` (static scalar-row scatter)
+      - else: stage-1 pool chunk, relative rowmap folded into
+        ``local_index`` bits 14..19 (per-lane scatter)
+
+    One output visit per block, no type flags, no padding beyond the
+    dense slots.  Measured on the scattered cliff case: 339 us vs
+    297+135 us for the separate calls.
+    """
+
+    d: int
+    kl: int                   # chunks per step = 64*cap + pool chunks
+    cap: int                  # level rank cap (dense slots per group)
+    lvl_per_block: int        # 64 * cap
+    pool_per_block: int       # stage-1 pool chunks per block (0 = no
+                              # pool merged)
+    num_blocks: int
+    xr4: int
+    value: jax.Array          # (num_blocks*kl, 8, 128)
+    local_index: jax.Array    # (num_blocks*kl, 8, 128) int32
+    anchor4: jax.Array        # (num_blocks, 1, kl) int32
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "pool", "remainder", "merged",
+                 "tail_pools"],
     meta_fields=["num_rows", "num_columns", "num_entries",
                  "num_groups", "blocks_per_out"],
 )
@@ -643,10 +686,19 @@ class DeviceCwPool:
 class DeviceWellCw:
     """WELL-CW (chunk-window WELL) on device — see models.wellcw.
 
-    Multi-level: each level's chunks share a window width 1024*d and
-    run through one pallas_call; level outputs sum.  ``remainder`` is
-    the pathological-multiplicity tail on the XLA CSR path (~zero
-    entries by construction of the default level spec).
+    Two device layouts:
+
+    - **merged** (preferred, probes 46-48): the single level's dense
+      slots and the capped stage-1 pool interleave into ONE grid
+      (`DeviceCwMerged`); ``levels``/``pool`` are empty.  Chosen when
+      the matrix has one level, a matching-width (or no) pool, and
+      the dense-slot padding waste is small.
+    - **fallback**: per-level + pool pallas calls (``merged`` None),
+      for multi-level specs, tiny matrices, or dense-waste cases.
+
+    ``tail_pools`` are wide-pooled spill stages (own calls either
+    way); ``remainder`` is the pathological-multiplicity tail on the
+    XLA CSR path.
     """
 
     num_rows: int
@@ -654,9 +706,11 @@ class DeviceWellCw:
     num_entries: int
     num_groups: int
     blocks_per_out: int       # B: 8-group blocks per output tile
-    levels: tuple             # of DeviceCwLevel
+    levels: tuple             # of DeviceCwLevel (fallback layout)
     pool: Optional["DeviceCwPool"]
     remainder: Optional[DeviceCsr]
+    merged: Optional["DeviceCwMerged"] = None
+    tail_pools: tuple = ()    # of DeviceCwPool (wide out_rows)
 
     format_name = "wellcw"
 
@@ -691,6 +745,57 @@ class DeviceWellCw:
         b_out = int(blocks_per_out)
         out_rows = SUBLANE * b_out
         num_blocks = -(-num_groups // (SUBLANE * b_out))
+
+        tails = []
+        for tp in getattr(m, "tail_pools", ()):
+            # step size from the ACTUAL run lengths: a deep catch-all
+            # ladder may hold thin 2-chunk runs (pad to 2^k near the
+            # max run, not to the cap)
+            counts = np.bincount(np.asarray(tp.pool_of_chunk))
+            max_run = int(counts.max(initial=1))
+            kp = 1 << int(np.ceil(np.log2(max(1, max_run))))
+            kp = max(1, min(kp, 64))
+            t_rows = int(tp.pool_groups)
+            base_grp = np.asarray(tp.pool_of_chunk
+                                  ).astype(np.int64) * t_rows
+            tv, tl, tws, _g, tblks, trm = _pad_cw_steps(
+                np.asarray(tp.value), np.asarray(tp.local_index),
+                np.asarray(tp.anchor4), base_grp, num_groups,
+                k=kp, out_rows=t_rows, rowmap=np.asarray(tp.rowmap))
+            a_max = int(np.asarray(tp.anchor4).max(initial=0))
+            xr4 = round_up(
+                max(-(-m.num_columns // (LANE * tp.d)),
+                    a_max + SUBLANE), SUBLANE)
+            tails.append(DeviceCwPool(
+                d=tp.d, num_chunks=int(tv.shape[0]),
+                chunks_per_step=kp, xr4=int(xr4),
+                value=jnp.asarray(tv, dtype=dtype),
+                local_index=jnp.asarray(tl),
+                anchor4=jnp.asarray(tws),
+                rowmap=jnp.asarray(trm),
+                block_of_step=jnp.asarray(tblks),
+                out_rows=t_rows))
+
+        remainder = None
+        if m.remainder is not None:
+            remainder = DeviceCsr.from_host(m.remainder, dtype=dtype)
+
+        merged = None
+        if chunks_per_step is None:
+            merged = _build_cw_merged(m, dtype)
+        if merged is not None:
+            return cls(
+                num_rows=m.num_rows,
+                num_columns=m.num_columns,
+                num_entries=m.num_entries,
+                num_groups=num_groups,
+                blocks_per_out=8,
+                levels=(),
+                pool=None,
+                remainder=remainder,
+                merged=merged,
+                tail_pools=tuple(tails),
+            )
 
         levels = []
         for lv in m.levels:
@@ -759,9 +864,6 @@ class DeviceWellCw:
                 rowmap=jnp.asarray(rm),
                 block_of_step=jnp.asarray(blks),
             )
-        remainder = None
-        if m.remainder is not None:
-            remainder = DeviceCsr.from_host(m.remainder, dtype=dtype)
         return cls(
             num_rows=m.num_rows,
             num_columns=m.num_columns,
@@ -771,6 +873,8 @@ class DeviceWellCw:
             levels=tuple(levels),
             pool=pool,
             remainder=remainder,
+            merged=None,
+            tail_pools=tuple(tails),
         )
 
 
@@ -819,6 +923,91 @@ def _pad_cw_steps(value, loc, a4, grp, num_groups, k, out_rows,
         rm_o[pos] = rowmap
         return value_o, loc_o, ws, grp2, blks, rm_o
     return value_o, loc_o, ws, grp2, blks
+
+
+def _build_cw_merged(m, dtype):
+    """Build the merged level+pool grid (DeviceCwMerged) when the
+    host matrix fits the dense-slot pattern, else None.
+
+    Eligible iff: exactly one level with recorded ranks, pool (if
+    any) shares the level's window width and pools 64 groups with a
+    mergeable cap, and the dense slots (round_up(ng,64) * cap per
+    block) would waste <= 15% extra chunks over the packed level.
+    """
+    levels = getattr(m, "levels", ())
+    if len(levels) != 1:
+        return None
+    lvl = levels[0]
+    if not lvl.cap or lvl.rank_of_chunk is None:
+        return None
+    pool = getattr(m, "pool", None)
+    if pool is not None and (
+        pool.d != lvl.d or pool.pool_groups != 64
+        or not (0 < pool.cap <= 64)
+    ):
+        return None
+    if lvl.d > 16:
+        return None               # rowmap fold needs loc bits >= 14
+    ng = m.num_groups
+    ng_pad = round_up(ng, 64)
+    cap = int(lvl.cap)
+    lvl_per = 64 * cap
+    pool_per = int(pool.cap) if pool is not None else 0
+    kl = lvl_per + pool_per
+    if kl > 256:
+        return None               # unroll sanity bound
+    dense_total = ng_pad * cap
+    if dense_total > max(lvl.num_chunks, 1) * 1.15:
+        return None               # zero-filled slots would dominate
+    S = ng_pad // 64
+
+    value = np.zeros((S * kl, SUBLANE, LANE),
+                     dtype=np.asarray(lvl.value).dtype)
+    loc = np.zeros((S * kl, SUBLANE, LANE), dtype=np.int32)
+    a4 = np.zeros(S * kl, dtype=np.int32)
+
+    grp = np.asarray(lvl.group_of_chunk).astype(np.int64)
+    rank = np.asarray(lvl.rank_of_chunk).astype(np.int64)
+    didx = (grp // 64) * kl + (grp % 64) * cap + rank
+    value[didx] = np.asarray(lvl.value)
+    loc[didx] = np.asarray(lvl.local_index)
+    a4[didx] = np.asarray(lvl.anchor4)
+    a_max = int(np.asarray(lvl.anchor4).max(initial=0))
+
+    if pool is not None:
+        base_grp = np.asarray(pool.pool_of_chunk
+                              ).astype(np.int64) * 64
+        pv, plc, pws, _g, _blks, prm = _pad_cw_steps(
+            np.asarray(pool.value), np.asarray(pool.local_index),
+            np.asarray(pool.anchor4), base_grp, ng,
+            k=pool_per, out_rows=64, rowmap=np.asarray(pool.rowmap))
+        n_pool = pv.shape[0]
+        if n_pool != S * pool_per:
+            return None           # a pool run exceeded its cap
+        blk_of = np.arange(n_pool) // pool_per
+        rm_rel = prm - (blk_of * 64)[:, None, None]
+        if rm_rel.min() < 0 or rm_rel.max() >= 64:
+            return None
+        if int(plc.max(initial=0)) >= (1 << 14):
+            return None           # fold would clobber loc bits
+        plc = (plc | (rm_rel.astype(np.int32) << 14)).astype(np.int32)
+        pidx = blk_of * kl + lvl_per + np.arange(n_pool) % pool_per
+        value[pidx] = pv
+        loc[pidx] = plc
+        a4[pidx] = pws.reshape(-1)
+        a_max = max(a_max, int(np.asarray(pool.anchor4
+                                          ).max(initial=0)))
+
+    xr4 = round_up(
+        max(-(-m.num_columns // (LANE * lvl.d)), a_max + SUBLANE),
+        SUBLANE)
+    return DeviceCwMerged(
+        d=lvl.d, kl=kl, cap=cap, lvl_per_block=lvl_per,
+        pool_per_block=pool_per, num_blocks=S, xr4=int(xr4),
+        value=jnp.asarray(value, dtype=dtype),
+        local_index=jnp.asarray(loc),
+        anchor4=jnp.asarray(a4.reshape(S, 1, kl)),
+    )
 
 
 def device_put_matrix(m, dtype=None, **kw):

@@ -39,14 +39,27 @@ WELL-CW restructures both the layout and the gather (probes 27-28):
   chunks shared across the 64 groups of an output block, with a
   per-cell row map freeing the group constraint; the kernel scatters
   each slot row separately there.  The scattered tail packs at ~5x
-  the fill per-group chunks manage.  Because the XLA gather path runs
-  at ~0.06 Gnnz/s on this chip (probe 28), the pool cap is deep so
-  the CSR remainder stays ~zero.
+  the fill per-group chunks manage.
+- **Capped stage-1 pool + wide-pool cascade** (probes 42-45): the
+  64-group ladder's ranks past ~16 are near-empty queue-draining
+  chunks (fill < 0.06), so the stage-1 pool caps at POOL_CAP=16 —
+  which also fixes its padded chunk count at exactly 16 per output
+  block — and the spill re-pools at 128-group width
+  (DEFAULT_TAIL_SPECS), where the thin tail re-concentrates.  A
+  spill too thin to fill pool chunks (< 64 entries/pool) goes to the
+  CSR remainder instead, which is cheaper below that density.
+- **Merged device grid** (probes 46-48, models.device.DeviceCwMerged):
+  with cap=2 dense level slots and the 16-chunk stage-1 pool, every
+  64-group output block is ONE static 144-chunk grid step — level
+  scatter by static scalar row, pool rowmap folded into local_index
+  bits 14+.  Removes ~280 ns/step grid overhead and the separate
+  pool call entirely.
 
 Measured (honest long-chain timing, random banded n=1M bw=4096
-8 nnz/row, the VERDICT #4 cliff case): fill 0.40 (tiled-window round-1
-scheme: 0.13), 14.2 Gnnz/s at 588 us vs 5.6 Gnnz/s for the round-1
-packing and 0.06 Gnnz/s for raw CSR — the cliff is gone.
+8 nnz/row, the VERDICT #4 cliff case): round 1 tiled windows
+5.6 Gnnz/s; round 2 band-adaptive + pooled tail 14.2 Gnnz/s at
+588 us; round 3 merged grid + capped cascade **17.8 Gnnz/s at
+470 us** (raw CSR: 0.06 Gnnz/s).
 """
 
 from __future__ import annotations
@@ -81,6 +94,23 @@ DEFAULT_LEVELS: Tuple[Tuple[int, int, float], ...] = (
 POOL_GROUPS = 64          # groups pooled per chunk = one output block
                           # (device uses blocks_per_out=8 when pooled)
 
+# Stage-1 pool ladder depth.  Probes 42-45: ranks past ~16 of a
+# 64-group ladder are near-empty queue-draining chunks (fill < 0.06)
+# — 2/3 of the pool chunks for ~5% of its entries.  Capping at 16
+# keeps the pool at fill ~0.38 AND makes every pool emit exactly 16
+# padded chunks (kp=16), which is what lets the device merge pool
+# chunks into the level grid (one 144-chunk step per output block).
+POOL_CAP = 16
+
+# Spill cascade after the capped stage-1 pool: re-pool the thin tail
+# at wider pooling (128 groups re-concentrates what a 64-group ladder
+# would chase with junk ranks), then a deep 64-group catch-all so
+# extreme-multiplicity matrices (40 entries/row into 64 columns kind)
+# still end with a ~zero CSR remainder; whatever survives all stages
+# is the true pathological tail.
+DEFAULT_TAIL_SPECS: Tuple[Tuple[int, int], ...] = ((128, 16),
+                                                   (64, 256))
+
 
 @dataclasses.dataclass
 class CwPoolLevel:
@@ -100,6 +130,8 @@ class CwPoolLevel:
     anchor4: np.ndarray         # (chunks,) int32
     rowmap: np.ndarray          # (chunks, 8, 128) int32: global group
     pool_of_chunk: np.ndarray   # (chunks,) int32, non-decreasing
+    pool_groups: int = POOL_GROUPS   # groups pooled per chunk
+    cap: int = 0                # ladder depth the pool was packed with
 
     @property
     def num_chunks(self) -> int:
@@ -116,6 +148,8 @@ class CwLevel:
     anchor4: np.ndarray         # (chunks,) int32: window start / d
                                 # (row units of the stride-d tables)
     group_of_chunk: np.ndarray  # (chunks,) int32, non-decreasing
+    cap: int = 0                # rank cap the level was packed with
+    rank_of_chunk: Optional[np.ndarray] = None  # (chunks,) int64
 
     @property
     def num_chunks(self) -> int:
@@ -252,7 +286,8 @@ def _pack_level(
     anchor4 = anchors[ckeys % cap, ckeys // cap].astype(np.int32)
     grp = (ckeys // cap).astype(np.int32)
     level = CwLevel(d=d, value=value, local_index=loc, anchor4=anchor4,
-                    group_of_chunk=grp)
+                    group_of_chunk=grp, cap=cap,
+                    rank_of_chunk=(ckeys % cap).astype(np.int64))
     return level, np.nonzero(~keep)[0]
 
 
@@ -264,21 +299,25 @@ def _pack_pool(
     vals: np.ndarray,
     d: int,
     cap: int,
+    pool_groups: int = POOL_GROUPS,
 ) -> Tuple[Optional[CwPoolLevel], np.ndarray]:
     """Pack tail entries into pooled chunks (see CwPoolLevel).
 
     Same rank-with-anchor placement as :func:`_pack_level`, but cells
-    are pooled across POOL_GROUPS groups (the per-cell row map frees
-    the group constraint) and the anchor ladder steps through the
-    pool's wider column span (pool bands span several windows)."""
+    are pooled across ``pool_groups`` groups (the per-cell row map
+    frees the group constraint) and the anchor ladder steps through
+    the pool's wider column span (pool bands span several windows).
+    Wider ``pool_groups`` (128/256) re-concentrate a thin spill tail
+    that a 64-group ladder would chase with near-empty junk ranks
+    (probes 42-45)."""
     if rows.size == 0:
         return None, np.zeros(0, dtype=np.int64)
     wd = 8 * d
     g = rows >> 7
-    pool = g // POOL_GROUPS
+    pool = g // pool_groups
     x2drow = cols >> 7
     lane = rows & (GROUP_ROWS - 1)
-    npool = max(-(-max(num_rows, 1) // (GROUP_ROWS * POOL_GROUPS)), 1)
+    npool = max(-(-max(num_rows, 1) // (GROUP_ROWS * pool_groups)), 1)
 
     glo, ghi = _grouped_minmax(pool, x2drow, npool)
     a_low = np.where(ghi < 0, 0, np.maximum(glo // d, 0))
@@ -342,7 +381,7 @@ def _pack_pool(
     anchor4 = anchors[ckeys % cap, ckeys // cap].astype(np.int32)
     # padding cells point at the pool's base group (value 0 adds 0)
     rowmap = np.broadcast_to(
-        (pool_of_chunk * POOL_GROUPS)[:, None, None],
+        (pool_of_chunk * pool_groups)[:, None, None],
         (n_chunks, SUBLANE, GROUP_ROWS),
     ).astype(np.int32).copy()
 
@@ -357,7 +396,8 @@ def _pack_pool(
     rowmap[chunk_of, s, lane[kg]] = g[kg].astype(np.int32)
     level = CwPoolLevel(d=d, value=value, local_index=loc,
                         anchor4=anchor4, rowmap=rowmap,
-                        pool_of_chunk=pool_of_chunk)
+                        pool_of_chunk=pool_of_chunk,
+                        pool_groups=pool_groups, cap=cap)
     return level, np.nonzero(~keep)[0]
 
 
@@ -369,6 +409,7 @@ class WellCwMatrix:
     levels: Tuple[CwLevel, ...]
     remainder: Optional[CsrMatrix]   # pathological multiplicity tail
     pool: Optional[CwPoolLevel] = None
+    tail_pools: Tuple[CwPoolLevel, ...] = ()
 
     format_name = "wellcw"
 
@@ -378,18 +419,21 @@ class WellCwMatrix:
         cls,
         mm: MatrixMarket,
         levels: Sequence[Tuple[int, int, float]] = DEFAULT_LEVELS,
-        pool_cap: int = 256,
+        pool_cap: int = POOL_CAP,
+        tail_specs: Sequence[Tuple[int, int]] = DEFAULT_TAIL_SPECS,
     ) -> "WellCwMatrix":
         rows, cols, vals, _ = sorted_entries_0based(mm)
         return cls._build(mm.num_rows, mm.num_columns, rows, cols,
-                          vals, levels, pool_cap=pool_cap)
+                          vals, levels, pool_cap=pool_cap,
+                          tail_specs=tail_specs)
 
     @classmethod
     def from_csr(
         cls,
         m: CsrMatrix,
         levels: Sequence[Tuple[int, int, float]] = DEFAULT_LEVELS,
-        pool_cap: int = 256,
+        pool_cap: int = POOL_CAP,
+        tail_specs: Sequence[Tuple[int, int]] = DEFAULT_TAIL_SPECS,
     ) -> "WellCwMatrix":
         if int(m.row_ptr[-1]) != m.num_entries:
             raise MatrixError(
@@ -399,11 +443,15 @@ class WellCwMatrix:
         return cls._build(
             m.num_rows, m.num_columns, rows,
             m.column_index.astype(np.int64), m.value, levels,
-            pool_cap=pool_cap)
+            pool_cap=pool_cap, tail_specs=tail_specs)
 
     @classmethod
     def _build(cls, num_rows, num_columns, rows, cols, vals, levels,
-               pool_cap=256):
+               pool_cap=None, tail_specs=None):
+        if pool_cap is None:
+            pool_cap = POOL_CAP
+        if tail_specs is None:
+            tail_specs = DEFAULT_TAIL_SPECS
         if not levels:
             raise MatrixError("WellCwMatrix needs at least one level")
         rows = np.asarray(rows, dtype=np.int64)
@@ -428,6 +476,27 @@ class WellCwMatrix:
                 num_rows, num_columns, rows[cur], cols[cur], vals[cur],
                 d=4, cap=pool_cap)
             cur = cur[spilled]
+        tails = []
+        if pool_cap <= 0:
+            tail_specs = ()       # pool_cap=0 disables pooling wholesale
+        ng = max(-(-num_rows // GROUP_ROWS), 1)
+        for tg, tcap in tail_specs:
+            if not cur.size:
+                break
+            # a stage only pays when the spill is dense enough that
+            # its padded per-pool chunks won't be junk; a thin spill
+            # is cheaper on the CSR remainder (probe 47: 2K entries
+            # cost ~18 us there vs ~100 us as 1-entry pool chunks)
+            npool = -(-ng // tg)
+            if cur.size < 64 * npool:
+                continue
+            tp, spilled = _pack_pool(
+                num_rows, num_columns, rows[cur], cols[cur], vals[cur],
+                d=4, cap=tcap, pool_groups=tg)
+            if tp is None:
+                continue
+            tails.append(tp)
+            cur = cur[spilled]
         remainder = None
         if cur.size:
             order = np.argsort(rows[cur], kind="stable")
@@ -441,18 +510,22 @@ class WellCwMatrix:
                 row_ptr=rp, column_index=c.astype(np.int32), value=v)
         return cls(num_rows=num_rows, num_columns=num_columns,
                    num_entries=int(rows.size), levels=tuple(built),
-                   remainder=remainder, pool=pool)
+                   remainder=remainder, pool=pool,
+                   tail_pools=tuple(tails))
 
     # ------------------------------------------------------------------
     @property
     def num_groups(self) -> int:
         return max(-(-self.num_rows // GROUP_ROWS), 1)
 
+    def _pools(self):
+        return ([] if self.pool is None else [self.pool]) + list(
+            self.tail_pools)
+
     @property
     def num_chunks(self) -> int:
-        return sum(lv.num_chunks for lv in self.levels) + (
-            self.pool.num_chunks if self.pool is not None else 0
-        )
+        return sum(lv.num_chunks for lv in self.levels) + sum(
+            p.num_chunks for p in self._pools())
 
     @property
     def num_remainder(self) -> int:
@@ -465,8 +538,7 @@ class WellCwMatrix:
     @property
     def fill_ratio(self) -> float:
         cells = sum(lv.value.size for lv in self.levels)
-        if self.pool is not None:
-            cells += self.pool.value.size
+        cells += sum(p.value.size for p in self._pools())
         return (self.num_entries - self.num_remainder) / max(cells, 1)
 
     def memory_usage_bytes(self) -> int:
@@ -474,8 +546,7 @@ class WellCwMatrix:
         for lv in self.levels:
             total += lv.value.nbytes + lv.local_index.nbytes
             total += lv.anchor4.nbytes + lv.group_of_chunk.nbytes
-        if self.pool is not None:
-            p = self.pool
+        for p in self._pools():
             total += (p.value.nbytes + p.local_index.nbytes
                       + p.anchor4.nbytes + p.rowmap.nbytes
                       + p.pool_of_chunk.nbytes)
@@ -501,8 +572,7 @@ class WellCwMatrix:
             row = lv.group_of_chunk[t].astype(np.int64) * GROUP_ROWS \
                 + lane
             np.add.at(y, row, lv.value[t, s, lane] * x[col])
-        if self.pool is not None:
-            p = self.pool
+        for p in self._pools():
             t, s, lane = np.nonzero(p.value)
             if t.size:
                 loc = p.local_index[t, s, lane].astype(np.int64)

@@ -1362,13 +1362,175 @@ def _cw_pool_call(pool, xt, padded_groups, out_rows, interpret):
       xt, pool.value, pool.local_index, pool.rowmap)
 
 
-def _cw_vmem_guard(A, nvec=1):
-    sources = [(lvl.xr4, lvl.d) for lvl in A.levels]
+def _cw_merged_kernel(ws_ref, x_ref, v_ref, l_ref, y_ref, *, d, kl,
+                      cap, lvl_per, dtype):
+    """Merged level + stage-1 pool step: one 64-group output block
+    per grid step (models.device.DeviceCwMerged).  Chunk positions
+    are static: kk < lvl_per is the level chunk of group kk // cap
+    (scalar-row scatter); the rest are pool chunks whose relative
+    rowmap rides in local_index bits 14+ (per-lane scatter)."""
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (64, LANE), 0)
+    acc_blk = jnp.zeros((64, LANE), dtype=dtype)
+    for kk in range(kl):
+        a4 = ws_ref[0, 0, kk]
+        locv = l_ref[kk]
+        llane = locv & (LANE - 1)
+        sel = (locv >> 7) & (d - 1)
+        val = v_ref[kk]
+        g = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+        for p in range(d):
+            T = x_ref[p, pl.ds(a4, SUBLANE), :]
+            gthr = jnp.take_along_axis(T, llane, axis=1)
+            g = g + jnp.where(sel == p, gthr, jnp.zeros_like(gthr))
+        acc = val * g
+        if kk < lvl_per:
+            strip = jnp.sum(acc, axis=0, keepdims=True)
+            acc_blk = acc_blk + jnp.where(
+                row_iota == (kk // cap),
+                jnp.broadcast_to(strip, (64, LANE)),
+                jnp.zeros((64, LANE), dtype=dtype),
+            )
+        else:
+            rm = locv >> 14
+            for s in range(SUBLANE):
+                acc_blk = acc_blk + jnp.where(
+                    row_iota == rm[s][None, :],
+                    jnp.broadcast_to(acc[s][None, :], (64, LANE)),
+                    jnp.zeros((64, LANE), dtype=dtype),
+                )
+    y_ref[:] = acc_blk
+
+
+def _cw_merged_call(mg, xt, interpret):
+    kl = mg.kl
+    kernel = functools.partial(
+        _cw_merged_kernel, d=mg.d, kl=kl, cap=mg.cap,
+        lvl_per=mg.lvl_per_block, dtype=mg.value.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(mg.num_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, kl), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((kl, SUBLANE, LANE),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kl, SUBLANE, LANE),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (64, LANE), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (mg.num_blocks * 64, LANE), mg.value.dtype
+        ),
+        interpret=interpret,
+    )(mg.anchor4, xt, mg.value, mg.local_index)
+
+
+def _cw_merged_spmm_kernel(ws_ref, x_ref, v_ref, l_ref, y_ref, *, d,
+                           kl, cap, lvl_per, nvec, dtype):
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (64, nvec, LANE), 0)
+    acc_blk = jnp.zeros((64, nvec, LANE), dtype=dtype)
+    for kk in range(kl):
+        a4 = ws_ref[0, 0, kk]
+        locv = l_ref[kk]
+        llane = locv & (LANE - 1)
+        sel = jnp.broadcast_to(
+            ((locv >> 7) & (d - 1))[:, None, :],
+            (SUBLANE, nvec, LANE))
+        val = v_ref[kk][:, None, :]
+        g = jnp.zeros((SUBLANE, nvec, LANE), dtype=dtype)
+        for p in range(d):
+            T = x_ref[p, pl.ds(a4, SUBLANE), :, :]
+            gthr = jnp.stack(
+                [jnp.take_along_axis(T[:, v, :], llane, axis=1)
+                 for v in range(nvec)], axis=1)
+            g = g + jnp.where(sel == p, gthr, jnp.zeros_like(gthr))
+        acc = val * g
+        if kk < lvl_per:
+            strip = jnp.sum(acc, axis=0, keepdims=True)
+            acc_blk = acc_blk + jnp.where(
+                row_iota == (kk // cap),
+                jnp.broadcast_to(strip, (64, nvec, LANE)),
+                jnp.zeros((64, nvec, LANE), dtype=dtype),
+            )
+        else:
+            rm = locv >> 14
+            for s in range(SUBLANE):
+                acc_blk = acc_blk + jnp.where(
+                    row_iota == rm[s][None, None, :],
+                    jnp.broadcast_to(acc[s][None],
+                                     (64, nvec, LANE)),
+                    jnp.zeros((64, nvec, LANE), dtype=dtype),
+                )
+    y_ref[:] = acc_blk
+
+
+def _cw_merged_spmm_call(mg, xt, nvec, interpret):
+    kl = mg.kl
+    kernel = functools.partial(
+        _cw_merged_spmm_kernel, d=mg.d, kl=kl, cap=mg.cap,
+        lvl_per=mg.lvl_per_block, nvec=nvec, dtype=mg.value.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(mg.num_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, kl), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((kl, SUBLANE, LANE),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kl, SUBLANE, LANE),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (64, nvec, LANE), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (mg.num_blocks * 64, nvec, LANE), mg.value.dtype
+        ),
+        interpret=interpret,
+    )(mg.anchor4, xt, mg.value, mg.local_index)
+
+
+def _cw_value_dtype(A):
+    if A.merged is not None:
+        return A.merged.value.dtype
+    return A.levels[0].value.dtype
+
+
+def _cw_sources(A):
+    if A.merged is not None:
+        yield (A.merged.xr4, A.merged.d)
+    for lvl in A.levels:
+        yield (lvl.xr4, lvl.d)
     if A.pool is not None:
-        sources.append((A.pool.xr4, A.pool.d))
+        yield (A.pool.xr4, A.pool.d)
+    for tp in A.tail_pools:
+        yield (tp.xr4, tp.d)
+
+
+def _cw_vmem_guard(A, nvec=1):
+    sources = list(_cw_sources(A))
     xbytes = max(
         xr4 * d for xr4, d in sources
-    ) * LANE * nvec * A.levels[0].value.dtype.itemsize
+    ) * LANE * nvec * _cw_value_dtype(A).itemsize
     if xbytes > 8 * 1024 * 1024:
         raise MatrixError(
             f"x ({xbytes/1e6:.0f} MB padded) exceeds the WELL-CW "
@@ -1384,8 +1546,12 @@ def wellcw_spmv_padded(A, x, interpret: bool = False) -> jax.Array:
     _cw_vmem_guard(A)
     out_rows = SUBLANE * A.blocks_per_out
     padded_groups = round_up(A.num_groups, out_rows)
-    xf = x.astype(A.levels[0].value.dtype)
+    xf = x.astype(_cw_value_dtype(A))
     y = None
+    if A.merged is not None:
+        y = _cw_merged_call(A.merged, _cw_tables(A.merged, xf),
+                            interpret)
+        padded_groups = y.shape[0]
     for lvl in A.levels:
         y2d = _cw_level_call(lvl, _cw_tables(lvl, xf), padded_groups,
                              out_rows, interpret)
@@ -1393,6 +1559,16 @@ def wellcw_spmv_padded(A, x, interpret: bool = False) -> jax.Array:
     if A.pool is not None:
         y2d = _cw_pool_call(A.pool, _cw_tables(A.pool, xf),
                             padded_groups, out_rows, interpret)
+        y = y2d if y is None else y + y2d
+    for tp in A.tail_pools:
+        tg = round_up(A.num_groups, tp.out_rows)
+        y2d = _cw_pool_call(tp, _cw_tables(tp, xf), tg, tp.out_rows,
+                            interpret)
+        pad = padded_groups - y2d.shape[0]
+        if pad > 0:
+            y2d = jnp.pad(y2d, ((0, pad), (0, 0)))
+        elif pad < 0:
+            y2d = y2d[:padded_groups]
         y = y2d if y is None else y + y2d
     return y.reshape(-1)
 
@@ -1539,14 +1715,28 @@ def _cw_pool_spmm_call(pool, xt, padded_groups, out_rows, nvec,
       xt, pool.value, pool.local_index, pool.rowmap)
 
 
+def _cw_tables3(src, Xf, nvec):
+    """Stride-d tables for SpMM: (d, xr4, nvec, LANE)."""
+    d, xr4 = src.d, src.xr4
+    x3d = jnp.pad(
+        Xf, ((0, xr4 * d * LANE - Xf.shape[0]), (0, 0))
+    ).reshape(xr4 * d, LANE, nvec).transpose(0, 2, 1)
+    return jnp.stack([x3d[p::d] for p in range(d)])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
     nvec = X.shape[1]
     _cw_vmem_guard(A, nvec)
     out_rows = SUBLANE * A.blocks_per_out
     padded_groups = round_up(A.num_groups, out_rows)
-    Xf = X.astype(A.levels[0].value.dtype)
+    Xf = X.astype(_cw_value_dtype(A))
     y = None
+    if A.merged is not None:
+        y = _cw_merged_spmm_call(
+            A.merged, _cw_tables3(A.merged, Xf, nvec), nvec,
+            interpret)
+        padded_groups = y.shape[0]
     for lvl in A.levels:
         d, xr4 = lvl.d, lvl.xr4
         x3d = jnp.pad(
@@ -1591,13 +1781,19 @@ def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
           xt, lvl.value, lvl.local_index)
         y = y3d if y is None else y + y3d
     if A.pool is not None:
-        d, xr4 = A.pool.d, A.pool.xr4
-        x3d = jnp.pad(
-            Xf, ((0, xr4 * d * LANE - X.shape[0]), (0, 0))
-        ).reshape(xr4 * d, LANE, nvec).transpose(0, 2, 1)
-        xt = jnp.stack([x3d[p::d] for p in range(d)])
+        xt = _cw_tables3(A.pool, Xf, nvec)
         y3d = _cw_pool_spmm_call(A.pool, xt, padded_groups, out_rows,
                                  nvec, interpret)
+        y = y3d if y is None else y + y3d
+    for tp in A.tail_pools:
+        tg = round_up(A.num_groups, tp.out_rows)
+        y3d = _cw_pool_spmm_call(tp, _cw_tables3(tp, Xf, nvec), tg,
+                                 tp.out_rows, nvec, interpret)
+        pad = padded_groups - y3d.shape[0]
+        if pad > 0:
+            y3d = jnp.pad(y3d, ((0, pad), (0, 0), (0, 0)))
+        elif pad < 0:
+            y3d = y3d[:padded_groups]
         y = y3d if y is None else y + y3d
     return y.transpose(0, 2, 1).reshape(-1, nvec)
 

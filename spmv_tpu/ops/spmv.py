@@ -127,11 +127,72 @@ def _wellcw_gathered(lvl, xf):
     return lvl.value * jnp.take(xf, xcol, mode="clip")
 
 
+def _cw_merged_split(mg):
+    """Static (level_idx, pool_idx, level_groups) for a merged grid:
+    which flat chunk indices are level vs pool chunks, and the level
+    chunks' group ids (all static meta, computed host-side)."""
+    import numpy as np
+
+    off = np.arange(mg.num_blocks * mg.kl) % mg.kl
+    blk = np.arange(mg.num_blocks * mg.kl) // mg.kl
+    is_lvl = off < mg.lvl_per_block
+    lvl_idx = np.nonzero(is_lvl)[0]
+    pool_idx = np.nonzero(~is_lvl)[0]
+    lvl_groups = blk[lvl_idx] * 64 + off[lvl_idx] // mg.cap
+    return (jnp.asarray(lvl_idx), jnp.asarray(pool_idx),
+            jnp.asarray(lvl_groups.astype(np.int32)),
+            jnp.asarray((blk[pool_idx] * 64).astype(np.int32)))
+
+
+def _wellcw_merged_xla(mg, xf, ncols, y):
+    """Accumulate a merged grid's contribution into y (flat rows,
+    (rows,) for SpMV or (rows, k) for SpMM)."""
+    a4 = mg.anchor4.reshape(-1)
+    loc = mg.local_index
+    wmask = 8 * mg.d - 1
+    xcol = (a4[:, None, None] * mg.d + ((loc >> 7) & wmask)) * LANE \
+        + (loc & (LANE - 1))
+    lvl_idx, pool_idx, lvl_groups, pool_base = _cw_merged_split(mg)
+    lanes = jnp.arange(LANE, dtype=jnp.int32)
+    if ncols is None:
+        gathered = jnp.take(xf, xcol, mode="clip")
+        prod = mg.value * gathered                # (C, 8, LANE)
+    else:
+        gathered = jnp.take(xf, xcol, axis=0, mode="clip")
+        prod = mg.value[..., None] * gathered     # (C, 8, LANE, k)
+    contrib = prod[lvl_idx].sum(axis=1)           # (CL, LANE[, k])
+    num_groups = y.shape[0] // LANE
+    # pad-block slots carry groups past num_groups; clip them onto
+    # the last group (their contribution is exactly zero)
+    lvl_groups = jnp.minimum(lvl_groups, num_groups - 1)
+    ysum = jax.ops.segment_sum(
+        contrib, lvl_groups, num_segments=num_groups,
+        indices_are_sorted=True,
+    )
+    y = y + ysum.reshape(y.shape)
+    # pool cells: per-cell rowmap in loc bits 14+
+    ploc = loc[pool_idx]
+    rm = pool_base[:, None, None] + (ploc >> 14)
+    flat = (rm * LANE + lanes).reshape(-1)
+    pprod = prod[pool_idx]
+    if ncols is None:
+        y = y.at[flat].add(pprod.reshape(-1), mode="drop")
+    else:
+        y = y.at[flat].add(pprod.reshape(-1, ncols), mode="drop")
+    return y
+
+
 def _wellcw_padded(A: DeviceWellCw, x: jax.Array) -> jax.Array:
     """WELL-CW SpMV, XLA formulation (the Pallas kernel's spec)."""
-    xf = x.astype(A.levels[0].value.dtype)
+    from spmv_tpu.ops.pallas_kernels import _cw_value_dtype
+
+    xf = x.astype(_cw_value_dtype(A))
     num_groups = A.num_groups
     y = jnp.zeros((num_groups, LANE), dtype=xf.dtype)
+    if A.merged is not None:
+        y = _wellcw_merged_xla(
+            A.merged, xf, None, y.reshape(-1)
+        ).reshape(num_groups, LANE)
     for lvl in A.levels:
         contrib = _wellcw_gathered(lvl, xf).sum(axis=1)
         y = y + jax.ops.segment_sum(
@@ -140,8 +201,8 @@ def _wellcw_padded(A: DeviceWellCw, x: jax.Array) -> jax.Array:
             num_segments=num_groups,
             indices_are_sorted=True,
         )
-    if A.pool is not None:
-        pv = A.pool
+    pools = ([] if A.pool is None else [A.pool]) + list(A.tail_pools)
+    for pv in pools:
         prod = _wellcw_gathered(pv, xf)             # (chunks, 8, LANE)
         lanes = jnp.arange(LANE, dtype=jnp.int32)
         flat = pv.rowmap * LANE + lanes             # (chunks, 8, LANE)
@@ -274,8 +335,15 @@ def spmm(A, X: jax.Array) -> jax.Array:
             y = y + spmm(A.spill, xf)[: A.num_rows]
         return y
     if isinstance(A, DeviceWellCw):
-        xf = X.astype(A.levels[0].value.dtype)
+        from spmv_tpu.ops.pallas_kernels import _cw_value_dtype
+
+        xf = X.astype(_cw_value_dtype(A))
         y = jnp.zeros((A.num_groups, LANE, X.shape[1]), dtype=xf.dtype)
+        if A.merged is not None:
+            y = _wellcw_merged_xla(
+                A.merged, xf, X.shape[1],
+                y.reshape(-1, X.shape[1]),
+            ).reshape(A.num_groups, LANE, X.shape[1])
         for lvl in A.levels:
             a4 = lvl.anchor4.reshape(-1)
             loc = lvl.local_index
@@ -290,8 +358,9 @@ def spmm(A, X: jax.Array) -> jax.Array:
                 num_segments=A.num_groups,
                 indices_are_sorted=True,
             )
-        if A.pool is not None:
-            pv = A.pool
+        pools = ([] if A.pool is None else [A.pool]) \
+            + list(A.tail_pools)
+        for pv in pools:
             a4 = pv.anchor4.reshape(-1)
             loc = pv.local_index
             xcol = (a4[:, None, None] * pv.d + (loc >> 7)) * LANE + (

@@ -634,14 +634,13 @@ def wellcw_spmv_refstring(
         parts_a.append(addrs)
         parts_n.append(numas)
 
-    if getattr(m, "pool", None) is not None:
+    for j, pv in enumerate(m._pools()):
         # pooled tail chunks (models.wellcw CwPoolLevel): one extra
         # rowmap read per cell, and y refs go to the rowmap's rows
-        pv = m.pool
-        val_a = layout["pool_value"]
-        loc_a = layout["pool_local_index"]
-        anc_a = layout["pool_anchor"]
-        rm_a = layout["pool_rowmap"]
+        val_a = layout[f"pool{j}_value"]
+        loc_a = layout[f"pool{j}_local_index"]
+        anc_a = layout[f"pool{j}_anchor"]
+        rm_a = layout[f"pool{j}_rowmap"]
         lo_c, hi_c = _equal_block(pv.num_chunks, num_threads, thread)
         chunks = hi_c - lo_c
         per_chunk = 1 + 5 * S * R

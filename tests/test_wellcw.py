@@ -48,8 +48,7 @@ def test_host_matches_dense(name, mm):
     packed = sum(
         int((lv.value != 0).sum()) for lv in w.levels
     )
-    if w.pool is not None:
-        packed += int((w.pool.value != 0).sum())
+    packed += sum(int((p.value != 0).sum()) for p in w._pools())
     assert packed + w.num_remainder >= np.count_nonzero(mm.values)
 
 
@@ -188,8 +187,7 @@ def test_refstring_shape_contract():
     w = k.matrix
     per_chunk = 1 + 3 * 8 * 128 + 128
     want = sum(lv.num_chunks for lv in w.levels) * per_chunk
-    if w.pool is not None:
-        want += w.pool.num_chunks * (1 + 5 * 8 * 128)
+    want += sum(p.num_chunks for p in w._pools()) * (1 + 5 * 8 * 128)
     if w.remainder is not None:
         r = w.remainder
         want += 3 * r.num_entries + 2 * r.num_rows + 2
@@ -223,3 +221,88 @@ def test_fast_spmv_dispatch():
     got = np.asarray(fast_spmv(A, jnp.asarray(x.astype(np.float32))))
     scale = max(1.0, np.abs(want).max())
     np.testing.assert_allclose(got / scale, want / scale, atol=1e-5)
+
+
+# ---------------------------------------------------------------------
+# Merged-grid layout (DeviceCwMerged): level + stage-1 pool in one
+# pallas grid (probes 46-48).  Needs >= 64 groups and low dense-slot
+# waste, so these cases are bigger than the CASES table above.
+# ---------------------------------------------------------------------
+def _merged_case():
+    return banded_random(16384, 512, 6, seed=20)
+
+
+def test_merged_layout_selected_and_matches():
+    mm = _merged_case()
+    w = WellCwMatrix.from_matrix_market(mm)
+    A = device_put_matrix(w, dtype=jnp.float32)
+    assert A.merged is not None, "expected the merged grid layout"
+    assert A.levels == () and A.pool is None
+    assert A.merged.kl == 64 * A.merged.cap + A.merged.pool_per_block
+    # every packed entry appears exactly once in the merged arrays
+    n_merged = int((np.asarray(A.merged.value) != 0).sum())
+    n_host = sum(int((lv.value != 0).sum()) for lv in w.levels)
+    n_host += 0 if w.pool is None else int((w.pool.value != 0).sum())
+    assert n_merged == n_host
+
+    x = np.random.default_rng(21).standard_normal(mm.num_columns)
+    want = w.spmv(x)
+    # XLA path
+    got = np.asarray(spmv(A, jnp.asarray(x.astype(np.float32))))
+    scale = max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-5)
+    # Pallas merged kernel (interpret)
+    got_pl = np.asarray(
+        wellcw_spmv(A, jnp.asarray(x.astype(np.float32)),
+                    interpret=True))
+    np.testing.assert_allclose(got_pl / scale, want / scale,
+                               atol=1e-5)
+
+
+def test_merged_spmm_matches():
+    mm = _merged_case()
+    w = WellCwMatrix.from_matrix_market(mm)
+    A = device_put_matrix(w, dtype=jnp.float32)
+    assert A.merged is not None
+    X = np.random.default_rng(22).standard_normal(
+        (mm.num_columns, 2))
+    want = w.spmm(X)
+    scale = max(1.0, np.abs(want).max())
+    got = np.asarray(spmm(A, jnp.asarray(X.astype(np.float32))))
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-5)
+    got_pl = np.asarray(
+        wellcw_spmm(A, jnp.asarray(X.astype(np.float32)),
+                    interpret=True))
+    np.testing.assert_allclose(got_pl / scale, want / scale,
+                               atol=1e-5)
+
+
+def test_merged_fallback_on_forced_chunks_per_step():
+    # an explicit chunks_per_step opts out of the merged layout and
+    # must still agree
+    mm = _merged_case()
+    w = WellCwMatrix.from_matrix_market(mm)
+    A = DeviceWellCw.from_host(w, dtype=jnp.float32,
+                               chunks_per_step=32)
+    assert A.merged is None and len(A.levels) == 1
+    x = np.random.default_rng(23).standard_normal(mm.num_columns)
+    want = w.spmv(x)
+    scale = max(1.0, np.abs(want).max())
+    got = np.asarray(
+        wellcw_spmv(A, jnp.asarray(x.astype(np.float32)),
+                    interpret=True))
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-5)
+
+
+def test_tail_cascade_accounting():
+    # the stage-1 cap + tail cascade covers what the old deep ladder
+    # covered: remainder stays ~zero on a scattered case
+    mm = banded_random(16384, 2048, 8, seed=24)
+    w = WellCwMatrix.from_matrix_market(mm)
+    assert w.remainder_fraction < 0.005
+    assert w.pool is not None and w.pool.cap <= 16
+    for p in w.tail_pools:
+        assert p.pool_groups in (64, 128, 256)
+    x = np.random.default_rng(25).standard_normal(mm.num_columns)
+    dense = _dense_of(mm)
+    np.testing.assert_allclose(w.spmv(x), dense @ x, atol=1e-8)
