@@ -24,7 +24,15 @@ def sorted_entries_0based(mm: MatrixMarket):
     lengths) used by all padded-format constructors.
     """
     require_coordinate(mm)
-    order = np.lexsort((mm.cols_1based, mm.rows_1based))
+    from spmv_tpu.models import _cw_native
+
+    # native stable radix sort when available (lexsort is ~4 s at
+    # 8.4M entries; the radix core is ~6x faster and bit-identical —
+    # tests/test_cw_native.py); lexsort otherwise
+    if mm.rows_1based.size >= (1 << 20) and _cw_native.available():
+        order = _cw_native.sort_perm(mm.rows_1based, mm.cols_1based)
+    else:
+        order = np.lexsort((mm.cols_1based, mm.rows_1based))
     rows = (mm.rows_1based[order] - 1).astype(INDEX_DTYPE)
     cols = (mm.cols_1based[order] - 1).astype(INDEX_DTYPE)
     vals = mm.values[order].astype(VALUE_DTYPE)

@@ -447,7 +447,9 @@ class WellCwMatrix:
 
     @classmethod
     def _build(cls, num_rows, num_columns, rows, cols, vals, levels,
-               pool_cap=None, tail_specs=None):
+               pool_cap=None, tail_specs=None, use_native=True):
+        from spmv_tpu.models import _cw_native
+
         if pool_cap is None:
             pool_cap = POOL_CAP
         if tail_specs is None:
@@ -457,24 +459,40 @@ class WellCwMatrix:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals, dtype=VALUE_DTYPE)
+        native = use_native and _cw_native.available()
+        if native:
+            def pack_level(r, c, v, d, cap, mp):
+                return _cw_native.pack_level(
+                    num_rows, num_columns, r, c, v, d, cap, mp)
+
+            def pack_pool(r, c, v, d, cap, pg):
+                return _cw_native.pack_pool(
+                    num_rows, num_columns, r, c, v, d, cap, pg)
+        else:
+            def pack_level(r, c, v, d, cap, mp):
+                return _pack_level(num_rows, num_columns, r, c, v,
+                                   d, cap, mp)
+
+            def pack_pool(r, c, v, d, cap, pg):
+                return _pack_pool(num_rows, num_columns, r, c, v,
+                                  d, cap, pool_groups=pg)
         built = []
         cur = np.arange(rows.size)
         for d, cap, min_pop in levels:
             if d & (d - 1):
                 raise MatrixError(f"level width d={d} must be a power "
                                   "of two (phase select uses masks)")
-            lvl, spilled = _pack_level(
-                num_rows, num_columns, rows[cur], cols[cur], vals[cur],
-                d, cap, min_pop)
+            lvl, spilled = pack_level(
+                rows[cur], cols[cur], vals[cur], d, cap, min_pop)
             built.append(lvl)
             cur = cur[spilled]
             if cur.size == 0:
                 break
         pool = None
         if cur.size and pool_cap > 0:
-            pool, spilled = _pack_pool(
-                num_rows, num_columns, rows[cur], cols[cur], vals[cur],
-                d=4, cap=pool_cap)
+            pool, spilled = pack_pool(
+                rows[cur], cols[cur], vals[cur], 4, pool_cap,
+                POOL_GROUPS)
             cur = cur[spilled]
         tails = []
         if pool_cap <= 0:
@@ -490,9 +508,8 @@ class WellCwMatrix:
             npool = -(-ng // tg)
             if cur.size < 64 * npool:
                 continue
-            tp, spilled = _pack_pool(
-                num_rows, num_columns, rows[cur], cols[cur], vals[cur],
-                d=4, cap=tcap, pool_groups=tg)
+            tp, spilled = pack_pool(
+                rows[cur], cols[cur], vals[cur], 4, tcap, tg)
             if tp is None:
                 continue
             tails.append(tp)

@@ -50,6 +50,12 @@ from spmv_tpu.parallel.well_shard import (
     sharded_well_halo_spmv,
     make_sharded_well_halo_matvec,
 )
+from spmv_tpu.parallel.wellcw_shard import (
+    ShardedWellCwHalo,
+    shard_wellcw_halo,
+    sharded_wellcw_halo_spmv,
+    make_sharded_wellcw_halo_matvec,
+)
 from spmv_tpu.parallel.dia_shard import (
     ShardedDia,
     shard_dia,
