@@ -39,9 +39,15 @@ import sys
 import time
 
 # In-place (aliased x/y, probe 24/25) prefers 256-row tiles for SpMV;
-# SpMM prefers 512 (bigger DMAs against its fatter window).
+# SpMM prefers 512 (bigger DMAs against its fatter window).  bf16
+# needs 1024: its bytes-per-tile halve, so the fixed per-tile costs
+# (rolls, window sync) stop amortizing at 256 — the whole round-2
+# "bf16 at 0.74 of its roofline" gap was tile size, not the cast-up
+# (probe 49: 287 us at 256 -> 223 us at 1024 = 0.96 of the bf16
+# roofline, the predicted 2x over f32).
 TILE_ROWS = 256
 SPMM_TILE_ROWS = 512
+BF16_TILE_ROWS = 1024
 BASELINE_FRACTION = 0.80
 # fp32 |y| checksum over ~84M entries vs the fp64 host reference
 CHECKSUM_RTOL = 1e-4
@@ -152,11 +158,12 @@ def _run() -> None:
     # Secondary: bf16 storage (halves the dominant diagonal stream;
     # f32 accumulation in-kernel).
     Ab = DeviceDia.from_host(dia, dtype=jnp.bfloat16)
+    bf16_tile = BF16_TILE_ROWS if on_tpu else TILE_ROWS
     xb2d = dia_prepare_x(Ab, jnp.asarray(x).astype(jnp.bfloat16),
-                         TILE_ROWS)
+                         bf16_tile)
 
     def bstep(x2d, A):
-        return dia_spmv_core(A, x2d, tile_rows=TILE_ROWS,
+        return dia_spmv_core(A, x2d, tile_rows=bf16_tile,
                              interpret=interpret)
 
     ks, kl = (8, 136) if on_tpu else (2, 6)
