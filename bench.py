@@ -219,6 +219,44 @@ def _run() -> None:
         dtype="float32", resident_rw_bytes=2 * 4 * cw_n,
     )
     cw_frac = cw_roof["time_roofline_s"] / t_cw
+
+    # Quaternary: BSR SpMM on a block-structured matrix — the MXU
+    # path auto_format(workload="spmm") selects (models/select.py).
+    # Roofline = max(block stream at HBM speed, dense flops at the
+    # f32 MXU peak); at k=128 the kernel is near the compute/bandwidth
+    # crossover, the honest regime for the format.
+    from spmv_tpu.io.generate import block_random
+    from spmv_tpu.models import auto_format
+    from spmv_tpu.models.device import DeviceBsr
+    from spmv_tpu.ops.pallas_kernels import bsr_spmm
+
+    bs_n = (1 << 17) if on_tpu else (1 << 10)
+    bs_mm = block_random(bs_n, bs_n, 8 if on_tpu else 2, seed=2)
+    bs_host, bs_rationale = auto_format(bs_mm, workload="spmm")
+    assert bs_rationale["format"] == "bsr", bs_rationale
+    Abs = DeviceBsr.from_host(bs_host, dtype=jnp.float32)
+    bs_k = 128 if on_tpu else 8
+    Xb = rng.standard_normal((bs_n, bs_k)).astype(np.float32)
+    Xbd = jnp.asarray(Xb)
+
+    def bs_step(Xbd, Abs):
+        return bsr_spmm(Abs, Xbd, interpret=interpret)
+
+    bs_want = float(
+        np.abs(bs_host.spmm(Xb.astype(np.float64))).sum())
+    bs_got = float(jnp.abs(bs_step(Xbd, Abs)).sum())
+    bs_rel = abs(bs_got - bs_want) / bs_want
+    ks, kl = (4, 24) if on_tpu else (2, 4)
+    t_bs = time_kernel(
+        bs_step, (Xbd, Abs), k_small=ks, k_large=kl, runs=6
+    ).seconds_per_iteration if bs_rel <= CHECKSUM_RTOL else float(
+        "inf")
+    bs_blocks = int(Abs.blocks.shape[0])
+    bs_bytes = bs_blocks * Abs.block_rows * 128 * 4
+    bs_flops = 2 * bs_blocks * Abs.block_rows * 128 * bs_k
+    bs_roof = max(bs_bytes / machine.hbm_gbps / 1e9,
+                  bs_flops / machine.peak_flops_f32)
+    bs_frac = bs_roof / t_bs
     if on_tpu and (not cw_ok or cw_frac < WELLCW_FLOOR):
         print(json.dumps({
             "metric": "dia_spmv_roofline_fraction",
@@ -290,6 +328,16 @@ def _run() -> None:
             "wellcw_gnnz_per_s": cw.num_entries / t_cw / 1e9,
             "wellcw_stored_bytes": cw_bytes,
             "wellcw_roofline_fraction": cw_frac,
+            "bsr_matrix": f"block_random_{bs_n}x{bs_n}",
+            "bsr_nnz": bs_host.num_entries,
+            "bsr_block_rows": Abs.block_rows,
+            "bsr_spmm_k": bs_k,
+            "bsr_checksum_rel_err": bs_rel,
+            "bsr_spmm_seconds": t_bs,
+            "bsr_spmm_gnnz_per_s": bs_k * bs_host.num_entries
+            / t_bs / 1e9,
+            "bsr_spmm_tflops": bs_flops / t_bs / 1e12,
+            "bsr_spmm_roofline_fraction": bs_frac,
         },
     }
     print(json.dumps(result))

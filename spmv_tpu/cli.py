@@ -123,7 +123,8 @@ def _make_kernel(args):
             raise SpmvError(
                 "-s auto chooses its own reordering; drop --reorder"
             )
-        matrix, rationale = auto_format(mm)
+        workload = "spmm" if args.spmm > 0 else "spmv"
+        matrix, rationale = auto_format(mm, workload=workload)
         if args.verbose:
             print(f"auto format: {rationale}", file=sys.stderr)
         return _mk(matrix.format_name, matrix=matrix)

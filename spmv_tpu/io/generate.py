@@ -123,6 +123,32 @@ def banded_random(
     return from_coo_arrays(num_rows, num_rows, rows, cols, vals)
 
 
+def block_random(
+    num_rows: int,
+    num_columns: int,
+    blocks_per_block_row: int,
+    block: int = 128,
+    seed: int = 0,
+) -> MatrixMarket:
+    """Random block-structured pattern: dense block x block tiles at
+    random block-column positions — the SuiteSparse-style structure
+    (multi-DOF FEM / circuit matrices) where BSR's MXU path wins for
+    SpMM workloads."""
+    rng = np.random.default_rng(seed)
+    nbr = max(num_rows // block, 1)
+    nbc = max(num_columns // block, 1)
+    bi = np.repeat(np.arange(nbr, dtype=np.int64),
+                   blocks_per_block_row)
+    bj = rng.integers(0, nbc, size=bi.size, dtype=np.int64)
+    key = np.unique(bi * nbc + bj)
+    bi, bj = key // nbc, key % nbc
+    within = np.arange(block * block, dtype=np.int64)
+    rows = (bi[:, None] * block + within[None] // block).reshape(-1)
+    cols = (bj[:, None] * block + within[None] % block).reshape(-1)
+    vals = rng.standard_normal(rows.size)
+    return from_coo_arrays(num_rows, num_columns, rows, cols, vals)
+
+
 def banded(num_rows: int, half_bandwidth: int, seed: int = 0) -> MatrixMarket:
     """Full band of width 2*half_bandwidth+1 around the diagonal."""
     rng = np.random.default_rng(seed)

@@ -35,6 +35,9 @@ __all__ = ["auto_format"]
 
 DIA_MAX_FILL = 3.0          # dense diagonal slots per nonzero
 WELL_MAX_SPILL = 0.15       # acceptable out-of-window fraction
+BSR_SPMM_MAX_FILL = 2.0     # stored block cells per nonzero at which
+                            # the MXU path still wins an SpMM workload
+                            # (tighter than the 4.0 advisory hint)
 WELL_MAX_FILL = 2.0         # stored slots per kept nonzero: beyond
 #                             this the per-slot kernel's storage
 #                             blowup loses to WELL-CW's cheaper chunks
@@ -45,14 +48,24 @@ def auto_format(
     mm: MatrixMarket,
     try_rcm: bool = True,
     window_rows: int = WELL_WINDOW_ROWS,
+    workload: str = "spmv",
 ) -> Tuple[object, dict]:
     """Pick and build the best host format for ``mm``.
 
     Returns (matrix, rationale).  ``rationale["format"]`` is one of
-    "dia" / "well" / "well+rcm" / "well+sigma" / "wellcw"; the dict
-    carries the numbers the decision used.
+    "dia" / "bsr" / "well" / "well+rcm" / "well+sigma" / "wellcw";
+    the dict carries the numbers the decision used.
+
+    ``workload`` steers the choice the way the reference's CLI lets
+    the caller steer formats (src/main.cpp:166-188): "spmv" (default)
+    optimizes the single-vector bandwidth path; "spmm" lets a
+    block-structured pattern select BSR, whose dense (block x 128)
+    MXU products win once the gather amortizes over many vectors.
     """
-    rationale: dict = {}
+    if workload not in ("spmv", "spmm"):
+        raise ValueError(
+            f"workload must be 'spmv' or 'spmm', got {workload!r}")
+    rationale: dict = {"workload": workload}
 
     rows = mm.rows_1based.astype(np.int64) - 1
     cols = mm.cols_1based.astype(np.int64) - 1
@@ -65,6 +78,28 @@ def auto_format(
     if dia_fill <= DIA_MAX_FILL:
         rationale["format"] = "dia"
         return DiaMatrix.from_matrix_market(mm), rationale
+
+    if workload == "spmm":
+        # An SpMM-heavy caller with dense block structure belongs on
+        # the MXU: each stored (block_rows x 128) tile feeds dense
+        # dot products against the whole X panel, so BSR beats the
+        # gather formats once fill is reasonable.
+        from spmv_tpu.models.bsr import BLOCK, BsrMatrix
+
+        bh = BsrMatrix.choose_block_rows(rows, cols, mm.num_columns)
+        nb = np.unique(
+            (rows // bh) * (mm.num_columns // BLOCK + 1)
+            + cols // BLOCK
+        ).size
+        bsr_fill = nb * bh * BLOCK / max(mm.num_entries, 1)
+        rationale["bsr_fill"] = bsr_fill
+        rationale["bsr_block_rows"] = bh
+        if bsr_fill <= BSR_SPMM_MAX_FILL:
+            rationale["format"] = "bsr"
+            return (
+                BsrMatrix.from_matrix_market(mm, block_rows=bh),
+                rationale,
+            )
 
     well = WellMatrix.from_matrix_market(mm, window_rows=window_rows)
     rationale["well_spill"] = well.spill_fraction
@@ -124,9 +159,9 @@ def auto_format(
     rationale["wellcw_remainder"] = cw.remainder_fraction
 
     # SpMV picks WELL-CW, but if the pattern has dense block structure
-    # an SpMM-heavy caller should consider the MXU format instead —
-    # surface that in the rationale (auto_format cannot know the
-    # workload).
+    # an SpMM-heavy caller should have passed workload="spmm" (which
+    # selects BSR outright above) — surface the hint in the rationale
+    # for callers on the default workload.
     from spmv_tpu.models.bsr import BLOCK, BsrMatrix
 
     rows0 = mm.rows_1based.astype(np.int64) - 1

@@ -259,3 +259,25 @@ def test_auto_format_selection():
     m, why = auto_format(random_sparse(400, 400, 6, seed=1))
     assert isinstance(m, WellMatrix)
     assert why["format"] in ("well", "well+rcm")
+
+
+def test_auto_format_workload_spmm_selects_bsr():
+    from spmv_tpu.io.generate import block_random, random_sparse
+    from spmv_tpu.models import auto_format
+    from spmv_tpu.models.bsr import BsrMatrix
+    import pytest
+
+    blocky = block_random(2048, 2048, 3, seed=3)
+    # spmm workload on block structure -> BSR, outright
+    m, why = auto_format(blocky, workload="spmm")
+    assert isinstance(m, BsrMatrix) and why["format"] == "bsr"
+    assert why["bsr_fill"] <= 2.0
+    # the default (spmv) workload must NOT pick BSR
+    m2, why2 = auto_format(blocky)
+    assert why2["format"] != "bsr"
+    # spmm workload without block structure falls through normally
+    m3, why3 = auto_format(random_sparse(2000, 2000, 10, seed=2),
+                           workload="spmm")
+    assert why3["format"] != "bsr"
+    with pytest.raises(ValueError):
+        auto_format(blocky, workload="training")
