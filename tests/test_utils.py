@@ -26,11 +26,12 @@ def test_sample_median_odd():
 
 def test_sample_json_shape():
     d = compute_sample([1.0, 2.0], unit="ns").to_json()
-    for key in (
-        "size", "min", "max", "mean", "median", "variance",
+    # keys and order exactly as the reference's print_sample
+    # (sample.hpp:138-165); "samples" is its name for the count
+    assert [k for k in d] == [
+        "samples", "min", "max", "mean", "median", "variance",
         "standard_deviation", "skewness", "kurtosis", "unit",
-    ):
-        assert key in d
+    ]
 
 
 def test_json_nan_inf_rendering():
