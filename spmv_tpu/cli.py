@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spmm", type=int, metavar="K", default=0,
                    help="with --profile: time the multi-vector product "
                         "A @ X for an (n, K) block X instead of SpMV")
+    p.add_argument("--traffic-split", action="store_true",
+                   help="with --profile: also time the stream-only and "
+                        "gather-only kernel variants to separate regular "
+                        "from irregular traffic on-device (the analogue "
+                        "of the reference's spmv_regular_traffic / "
+                        "spmv_irregular_traffic variants)")
     p.add_argument("--reorder", choices=("none", "rcm", "gp", "sigma"),
                    default="none",
                    help="reorder the matrix before conversion "
@@ -384,6 +390,26 @@ def _profile(args, out) -> None:
 
         config = read_trace_config(args.trace_config)
 
+    traffic = None
+    if getattr(args, "traffic_split", False):
+        if args.spmm > 0:
+            raise SpmvError("--traffic-split applies to the SpMV step, "
+                            "not --spmm")
+        if not hasattr(kernel, "matrix"):
+            raise SpmvError(
+                f"--traffic-split is not supported by the "
+                f"{kernel.name} kernel"
+            )
+        from spmv_tpu.models.device import device_put_matrix
+        from spmv_tpu.perfmodel.tiling import TPU_V5E
+        from spmv_tpu.profile.traffic import measure_traffic_split
+
+        A = device_put_matrix(kernel.matrix)
+        if args.verbose:
+            print("timing traffic-isolation variants "
+                  "(full / regular / irregular)", file=sys.stderr)
+        traffic = measure_traffic_split(A, machine=TPU_V5E)
+
     from spmv_tpu.profile.report import profiling_report
 
     doc = profiling_report(
@@ -399,6 +425,8 @@ def _profile(args, out) -> None:
         flops_per_run=flops_override,
         bytes_per_run=bytes_override,
     )
+    if traffic is not None:
+        doc["traffic_split"] = traffic
     dump_json(doc, out)
 
 

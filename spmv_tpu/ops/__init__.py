@@ -10,6 +10,11 @@ from spmv_tpu.ops.solvers import (
     preconditioned_conjugate_gradient,
 )
 from spmv_tpu.ops.pallas_kernels import dia_spmv, dia_spmv_padded, well_spmv, well_spmv_padded
+from spmv_tpu.ops.traffic import (
+    spmv_irregular_traffic,
+    spmv_regular_traffic,
+    traffic_variant_bytes,
+)
 
 __all__ = [
     "spmv", "spmv_padded", "spmm", "fast_spmv", "triad",
@@ -17,4 +22,6 @@ __all__ = [
     "dia_conjugate_gradient",
     "jacobi_preconditioner", "extract_diagonal",
     "dia_spmv", "dia_spmv_padded", "well_spmv", "well_spmv_padded",
+    "spmv_regular_traffic", "spmv_irregular_traffic",
+    "traffic_variant_bytes",
 ]
