@@ -56,6 +56,13 @@ from spmv_tpu.parallel.wellcw_shard import (
     sharded_wellcw_halo_spmv,
     make_sharded_wellcw_halo_matvec,
 )
+from spmv_tpu.parallel.bsr_shard import (
+    ShardedBsrHalo,
+    shard_bsr_halo,
+    sharded_bsr_spmm,
+    sharded_bsr_spmv,
+    make_sharded_bsr_matvec,
+)
 from spmv_tpu.parallel.dia_shard import (
     ShardedDia,
     shard_dia,
@@ -81,6 +88,11 @@ __all__ = [
     "shard_csr_halo",
     "sharded_halo_spmv",
     "make_sharded_halo_matvec",
+    "ShardedBsrHalo",
+    "shard_bsr_halo",
+    "sharded_bsr_spmm",
+    "sharded_bsr_spmv",
+    "make_sharded_bsr_matvec",
     "ShardedDia",
     "shard_dia",
     "sharded_dia_spmv",

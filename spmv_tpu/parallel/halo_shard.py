@@ -374,8 +374,11 @@ def exchange_halos(x, send_idx, axis_name, *, exchange, num_shards,
                    max_distance):
     """Run the halo collective; returns the flat receive vector.
 
-    Shared by the CSR and WELL halo paths (call inside shard_map).
-    ``send_idx`` is this shard's (strips, H) table of local x indices.
+    Shared by the CSR, WELL, and BSR halo paths (call inside
+    shard_map).  ``send_idx`` is this shard's (strips, H) table of
+    local x indices into ``x``'s leading axis; trailing axes of ``x``
+    ride along (BSR exchanges (H, 128, k) block tiles), and the
+    receive vector is flat only in the leading (slot) axis.
     """
     p, D = num_shards, max_distance
     if exchange == "neighbor":
@@ -394,11 +397,11 @@ def exchange_halos(x, send_idx, axis_name, *, exchange, num_shards,
             ))
         return jnp.concatenate(strips)
     # all2all: send strip q to shard q, receive strip from every shard.
-    send = x[send_idx]                        # (P, H)
+    send = x[send_idx]                        # (P, H, *trailing)
     recv = jax.lax.all_to_all(
         send, axis_name, split_axis=0, concat_axis=0, tiled=True
-    )                                          # (P, H)
-    return recv.reshape(-1)
+    )                                          # (P, H, *trailing)
+    return recv.reshape((-1,) + recv.shape[2:])
 
 
 def _local_halo_spmv(A: ShardedCsrHalo, blk, x_stacked, axis_name):
