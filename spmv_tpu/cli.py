@@ -74,11 +74,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "device and report convergence + timing")
     p.add_argument("--cg-tol", type=float, default=1e-6,
                    help="CG relative-residual tolerance (default 1e-6)")
-    p.add_argument("--precondition", choices=("none", "jacobi"),
+    p.add_argument("--solver", choices=("cg", "bicgstab"),
+                   default="cg",
+                   help="with --cg: Krylov method (cg for SPD systems, "
+                        "bicgstab for general matrices)")
+    p.add_argument("--precondition",
+                   choices=("none", "jacobi", "ic0", "ic0-sweeps",
+                            "ilu0", "ilu0-sweeps"),
                    default="none",
                    help="preconditioner for --cg (jacobi = diagonal "
-                        "scaling; one fused elementwise op per "
-                        "iteration)")
+                        "scaling; ic0/ilu0 = incomplete factorization "
+                        "with level-scheduled triangular solves; the "
+                        "-sweeps variants substitute the fixed-count "
+                        "Jacobi-iteration approximate solve)")
     p.add_argument("--spmm", type=int, metavar="K", default=0,
                    help="with --profile: time the multi-vector product "
                         "A @ X for an (n, K) block X instead of SpMV")
@@ -262,7 +270,41 @@ def _solve_cg(args, out) -> None:
 
     from spmv_tpu.models.device import DeviceDia
 
-    if isinstance(A, DeviceDia):
+    factor_info = None
+    if args.precondition.startswith(("ic0", "ilu0")):
+        minv, factor_info = _incomplete_preconditioner(args, kernel, m)
+        if args.solver == "bicgstab":
+            from spmv_tpu.ops.solvers import bicgstab
+
+            @jax.jit
+            def solve(b):
+                return bicgstab(
+                    lambda v: spmv(A, v), b, preconditioner=minv,
+                    tol=args.cg_tol, max_iterations=args.cg,
+                )
+        else:
+            @jax.jit
+            def solve(b):
+                return preconditioned_conjugate_gradient(
+                    lambda v: spmv(A, v), b, minv,
+                    tol=args.cg_tol, max_iterations=args.cg,
+                )
+    elif args.solver == "bicgstab":
+        from spmv_tpu.ops.solvers import bicgstab
+
+        minv = None
+        if args.precondition == "jacobi":
+            diag = jnp.asarray(extract_diagonal(m),
+                               dtype=default_value_dtype())
+            minv = jacobi_preconditioner(diag)
+
+        @jax.jit
+        def solve(b):
+            return bicgstab(
+                lambda v: spmv(A, v), b, preconditioner=minv,
+                tol=args.cg_tol, max_iterations=args.cg,
+            )
+    elif isinstance(A, DeviceDia):
         # padded-layout fast path: pad once, one Pallas matvec per
         # iteration, CG vectors stay in the kernel layout (resident
         # on-chip up to ~4M rows on the measured machine)
@@ -313,6 +355,7 @@ def _solve_cg(args, out) -> None:
     doc = {
         "kernel": kernel.describe(),
         "cg": {
+            "solver": args.solver,
             "max_iterations": args.cg,
             "tolerance": args.cg_tol,
             "preconditioner": args.precondition,
@@ -323,7 +366,47 @@ def _solve_cg(args, out) -> None:
             "device": jax.devices()[0].platform,
         },
     }
+    if factor_info is not None:
+        doc["cg"]["factorization"] = factor_info
     dump_json(doc, out)
+
+
+def _incomplete_preconditioner(args, kernel, m):
+    """Build the IC(0)/ILU(0) apply closure for --precondition.
+
+    Needs an unpadded host CSR view of the matrix: reuses the loaded
+    MatrixMarket when the kernel kept one, else the matrix itself when
+    it already is unpadded CSR.
+    """
+    from spmv_tpu.models.csr import CsrMatrix
+    from spmv_tpu.ops.incomplete import (
+        ic0_factor,
+        ic0_preconditioner,
+        ilu0_factor,
+        ilu0_preconditioner,
+    )
+
+    mm = getattr(kernel, "_mm", None)
+    if isinstance(m, CsrMatrix) and int(m.row_ptr[-1]) == m.num_entries:
+        csr = m
+    elif mm is not None:
+        csr = CsrMatrix.from_matrix_market(mm)
+    else:
+        raise SpmvError(
+            f"--precondition {args.precondition} needs a CSR view of "
+            "the matrix; use -s csr (or a file-loaded matrix)"
+        )
+
+    name, _, variant = args.precondition.partition("-")
+    method = "sweeps" if variant == "sweeps" else "levels"
+    if name == "ic0":
+        L = ic0_factor(csr)
+        apply_fn, info = ic0_preconditioner(L, method=method)
+    else:
+        L, U = ilu0_factor(csr)
+        apply_fn, info = ilu0_preconditioner(L, U, method=method)
+    info["kind"] = name
+    return apply_fn, info
 
 
 def _profile(args, out) -> None:

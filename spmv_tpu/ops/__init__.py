@@ -3,11 +3,21 @@
 from spmv_tpu.ops.spmv import spmv, spmv_padded, spmm, fast_spmv
 from spmv_tpu.ops.triad import triad
 from spmv_tpu.ops.solvers import (
+    bicgstab,
     conjugate_gradient,
     dia_conjugate_gradient,
     extract_diagonal,
     jacobi_preconditioner,
     preconditioned_conjugate_gradient,
+)
+from spmv_tpu.ops.incomplete import (
+    DeviceTriSolve,
+    build_level_schedule,
+    ic0_factor,
+    ic0_preconditioner,
+    ilu0_factor,
+    ilu0_preconditioner,
+    tri_solve_sweeps,
 )
 from spmv_tpu.ops.pallas_kernels import dia_spmv, dia_spmv_padded, well_spmv, well_spmv_padded
 from spmv_tpu.ops.traffic import (
@@ -24,4 +34,7 @@ __all__ = [
     "dia_spmv", "dia_spmv_padded", "well_spmv", "well_spmv_padded",
     "spmv_regular_traffic", "spmv_irregular_traffic",
     "traffic_variant_bytes",
+    "bicgstab", "ic0_factor", "ilu0_factor", "ic0_preconditioner",
+    "ilu0_preconditioner", "DeviceTriSolve", "build_level_schedule",
+    "tri_solve_sweeps",
 ]

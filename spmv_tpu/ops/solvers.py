@@ -18,6 +18,7 @@ import numpy as np
 __all__ = [
     "conjugate_gradient",
     "preconditioned_conjugate_gradient",
+    "bicgstab",
     "dia_conjugate_gradient",
     "jacobi_preconditioner",
     "extract_diagonal",
@@ -116,6 +117,75 @@ def preconditioned_conjugate_gradient(
         cond, body, (x0, r0, p0, rz0, rr0, jnp.array(0, jnp.int32))
     )
     return CgResult(x=x, residual_norm=jnp.sqrt(rr), iterations=k)
+
+
+def bicgstab(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    preconditioner: Callable[[jax.Array], jax.Array] = None,
+    x0: jax.Array = None,
+    tol: float = 1e-8,
+    max_iterations: int = 1000,
+) -> CgResult:
+    """BiCGSTAB for general (non-symmetric) systems, jit-compatible.
+
+    The solver that makes ILU(0) useful: CG requires SPD, BiCGSTAB
+    does not (van der Vorst 1992).  Right-preconditioned form — the
+    preconditioner (e.g. :func:`spmv_tpu.ops.incomplete.ilu0_preconditioner`)
+    is applied to the search directions, so the residual being tested
+    is the true residual of A x = b.  Fixed-shape ``lax.while_loop``
+    like :func:`conjugate_gradient`; stagnation (rho ~ 0) exits via
+    the same condition as convergence.
+    """
+    if preconditioner is None:
+        def preconditioner(v):
+            return v
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    rhat = r0
+    b_norm2 = jnp.maximum(jnp.vdot(b, b), jnp.asarray(1e-300, b.dtype))
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * b_norm2
+    eps = jnp.asarray(np.finfo(np.dtype(b.dtype)).tiny * 1e4, b.dtype)
+
+    def cond(state):
+        _, _, _, _, rr, ok, k = state
+        return (rr > tol2) & ok & (k < max_iterations)
+
+    def body(state):
+        x, r, p, prev, rr, ok, k = state
+        rho_prev, alpha_prev, omega_prev, v_prev = prev
+        rho = jnp.vdot(rhat, r)
+        beta = (rho / _safe(rho_prev, eps)) * (
+            alpha_prev / _safe(omega_prev, eps))
+        p = r + beta * (p - omega_prev * v_prev)
+        ph = preconditioner(p)
+        v = matvec(ph)
+        alpha = rho / _safe(jnp.vdot(rhat, v), eps)
+        s = r - alpha * v
+        sh = preconditioner(s)
+        t = matvec(sh)
+        omega = jnp.vdot(t, s) / _safe(jnp.vdot(t, t), eps)
+        x = x + alpha * ph + omega * sh
+        r = s - omega * t
+        rr = jnp.vdot(r, r)
+        # breakdown (rho/omega ~ 0): stop iterating, keep the iterate
+        ok = jnp.abs(rho) >= eps
+        ok = ok & (jnp.abs(omega) >= eps)
+        return (x, r, p, (rho, alpha, omega, v), rr, ok, k + 1)
+
+    one = jnp.asarray(1.0, b.dtype)
+    state0 = (x0, r0, jnp.zeros_like(b),
+              (one, one, one, jnp.zeros_like(b)),
+              jnp.vdot(r0, r0), jnp.array(True),
+              jnp.array(0, jnp.int32))
+    x, r, p, _, rr, ok, k = jax.lax.while_loop(cond, body, state0)
+    return CgResult(x=x, residual_norm=jnp.sqrt(rr), iterations=k)
+
+
+def _safe(v, eps):
+    """Divide-safe denominator: keep magnitude >= eps, keep sign."""
+    mag = jnp.maximum(jnp.abs(v), eps)
+    return jnp.where(v < 0, -mag, mag)
 
 
 def dia_conjugate_gradient(
