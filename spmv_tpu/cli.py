@@ -96,11 +96,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "from irregular traffic on-device (the analogue "
                         "of the reference's spmv_regular_traffic / "
                         "spmv_irregular_traffic variants)")
-    p.add_argument("--reorder", choices=("none", "rcm", "gp", "sigma"),
+    p.add_argument("--reorder",
+                   choices=("none", "rcm", "gp", "sigma", "color"),
                    default="none",
                    help="reorder the matrix before conversion "
                         "(equivalent to the reference's __RCM/__GP "
-                        "path suffixes, plus the SELL-sigma row sort)")
+                        "path suffixes, plus the SELL-sigma row sort "
+                        "and greedy multicoloring — the order that "
+                        "collapses ic0/ilu0 triangular-solve levels "
+                        "to the color count)")
     p.add_argument("--jax-profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace (xplane) of the "
                         "profiled runs into DIR (the analogue of the "
@@ -151,6 +155,7 @@ def _make_kernel(args):
             "rcm": _reorder.find_new_order_rcm,
             "gp": _reorder.find_new_order_gp,
             "sigma": _reorder.find_new_order_sigma,
+            "color": _reorder.find_new_order_coloring,
         }[args.reorder](mm)
         return make_kernel(args.spmv_format, mm=mm.permute(order))
     return make_kernel(args.spmv_format, matrix_path=args.matrix)

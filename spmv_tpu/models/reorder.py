@@ -29,7 +29,8 @@ import numpy as np
 from spmv_tpu.io.matrix_market import MatrixMarket
 
 __all__ = ["find_new_order_rcm", "find_new_order_gp",
-           "find_new_order_sigma", "bandwidth"]
+           "find_new_order_sigma", "find_new_order_coloring",
+           "bandwidth"]
 
 
 def _adjacency(mm: MatrixMarket):
@@ -208,4 +209,48 @@ def find_new_order_sigma(
     # new_order maps old index -> new position (permute() convention)
     new_order = np.empty_like(order)
     new_order[order] = np.arange(mm.num_rows, dtype=np.int64)
+    return new_order
+
+
+def find_new_order_coloring(mm: MatrixMarket) -> np.ndarray:
+    """Greedy multicolor (graph-coloring) old->new map.
+
+    The parallel-preconditioning classic: color the adjacency graph so
+    no two neighbors share a color, then number rows color-by-color.
+    Rows of one color have no dependencies on each other, so an
+    incomplete factor of the *reordered* matrix has one triangular-
+    solve level per color — a 5-point Laplacian collapses from
+    ~2*sqrt(n) natural-order levels to 2, turning the level-scheduled
+    solve (ops.incomplete.DeviceTriSolve) into a handful of fully
+    vectorized scan steps.  The trade is a (usually mild) loss of
+    factor quality vs the natural order.
+
+    Greedy first-fit in degree order (Welsh-Powell), symmetrized
+    adjacency; like every order here it composes with
+    ``MatrixMarket.permute``.
+    """
+    n = mm.num_rows
+    degrees, ptr, adj = _adjacency(mm)
+    # symmetrize: color constraints are undirected
+    i = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    si = np.concatenate([i, adj])
+    sj = np.concatenate([adj, i])
+    order_e = np.argsort(si, kind="stable")
+    si, sj = si[order_e], sj[order_e]
+    sptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(si, minlength=n), out=sptr[1:])
+
+    color = np.full(n, -1, dtype=np.int64)
+    visit = np.argsort(-(np.bincount(si, minlength=n)), kind="stable")
+    for v in visit:
+        neigh = sj[sptr[v]:sptr[v + 1]]
+        used = set(color[neigh][color[neigh] >= 0].tolist())
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    # number rows color-major, stable within a color
+    perm = np.lexsort((np.arange(n), color))
+    new_order = np.empty(n, dtype=np.int64)
+    new_order[perm] = np.arange(n, dtype=np.int64)
     return new_order

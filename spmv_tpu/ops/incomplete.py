@@ -6,20 +6,29 @@ frameworks are judged by the iterative methods they can feed, and the
 classic preconditioners need sparse *triangular solves* — the most
 TPU-hostile kernel there is (a sequential dependence chain per row).
 
-The TPU-shaped design is **level scheduling into dense bands**: rows
-are grouped into dependency levels (row i's level is one past the max
-level of the rows it reads), each level is padded into a dense
-(width, max_deps) tile, and the solve is a ``lax.scan`` over levels —
-one gather + one small reduction + one scatter per level, everything
-shape-static.  A 5-point Poisson ordering has ~2*sqrt(n) levels of
-~sqrt(n) rows each, so the scan is sqrt(n) deep with fully vectorized
-bodies, instead of n-deep like the textbook loop.
+Rows group into dependency levels (row i's level is one past the max
+level of the rows it reads); three solve designs ship, measured
+against each other on the chip (probes 51/51b,
+experiments/RESULTS.md):
 
-For matrices whose ordering makes levels degenerate (near-sequential
-chains), :func:`tri_solve_sweeps` offers the Jacobi-iteration
-approximate solve (z_{k+1} = D^-1 (b - (T - D) z_k)) — fully parallel,
-exact after ``num_levels`` sweeps, and a standard preconditioner
-substitute after a handful.
+1. **BlockTriSolve** — the production path.  When levels are
+   contiguous row ranges (multicolor ordering numbers rows
+   color-major, ``models.reorder.find_new_order_coloring``), each
+   level is one static slice update plus one rectangular sparse
+   matvec through the framework's fast formats (DIA shifted slices
+   when the dep block is band-like).  Measured 3.5 us per M^-1 apply
+   on 262k rows — cheaper than the SpMV it preconditions.
+2. **DeviceTriSolve** — a ``lax.scan`` over levels padded into dense
+   (width, max_deps) tiles; works for any ordering but is bound by
+   XLA 1-D scatter/gather at ~17 ns/element (22-36 ms on the same
+   matrix), so it is the *fallback*, not the fast path.
+3. **tri_solve_sweeps** — Jacobi-iteration approximation
+   (z_{k+1} = D^-1 (b - (T - D) z_k)), exact after ``num_levels``
+   sweeps; same scatter bound, kept for orderings with degenerate
+   levels where a few sweeps substitute for an exact solve.
+
+``ic0_preconditioner`` / ``ilu0_preconditioner`` default to
+method="auto": blocks when the ordering allows, the scan otherwise.
 
 Host factorizations are numpy row loops (the factorization happens
 once per matrix; the solves happen once per CG iteration — only the
@@ -44,6 +53,7 @@ __all__ = [
     "ilu0_factor",
     "build_level_schedule",
     "DeviceTriSolve",
+    "BlockTriSolve",
     "tri_solve_sweeps",
     "ic0_preconditioner",
     "ilu0_preconditioner",
@@ -390,19 +400,45 @@ def tri_solve_sweeps(t: "DeviceTriSolve", b: jax.Array,
 
 # --------------------------------------------------------- preconditioners
 
-def ic0_preconditioner(L: CsrMatrix, method: str = "levels",
-                       sweeps: int = 6, dtype=None):
-    """M^-1 r = (L L^T)^-1 r from an IC(0) factor.
+def _pair_solver(Tl: CsrMatrix, Tu: CsrMatrix, unit_lower: bool,
+                 method: str, sweeps: int, dtype):
+    """Shared forward+backward solver builder for both factorizations.
 
-    ``method``: "levels" (exact level-scheduled solves) or "sweeps"
-    (Jacobi-iteration approximation, ``sweeps`` per triangle).
-    Returns (apply_fn, info_dict).
+    ``method``:
+    - "auto": "blocks" when both triangles' levels are contiguous
+      ranges and few (the multicolor case — probe 51b measured the
+      scatter-based scan at ~5000x the SpMV cost, the block path at
+      matvec cost), else the "levels" scan;
+    - "blocks": force the per-level fast-format matvec path;
+    - "levels": the lax.scan over padded dependency levels;
+    - "sweeps": Jacobi-iteration approximation, ``sweeps``/triangle.
     """
-    fwd = DeviceTriSolve.from_host(L, lower=True, dtype=dtype)
-    # L^T as an upper-triangular CSR (transpose host-side)
-    Lt = _transpose_csr(L)
-    bwd = DeviceTriSolve.from_host(Lt, lower=False, dtype=dtype)
+    if method in ("auto", "blocks"):
+        try:
+            fwd = BlockTriSolve.from_host(
+                Tl, lower=True, unit_diag=unit_lower, dtype=dtype)
+            bwd = BlockTriSolve.from_host(Tu, lower=False, dtype=dtype)
 
+            def apply(r):
+                return bwd.solve(fwd.solve(r))
+            info = {
+                "levels_forward": fwd.num_levels,
+                "levels_backward": bwd.num_levels,
+                "block_formats": [
+                    getattr(b, "format_name", "none")
+                    for b in fwd.blocks + bwd.blocks
+                ],
+                "method": "blocks",
+            }
+            return apply, info
+        except MatrixError:
+            if method == "blocks":
+                raise
+            method = "levels"
+
+    fwd = DeviceTriSolve.from_host(
+        Tl, lower=True, unit_diag=unit_lower, dtype=dtype)
+    bwd = DeviceTriSolve.from_host(Tu, lower=False, dtype=dtype)
     if method == "levels":
         def apply(r):
             return bwd.solve(fwd.solve(r))
@@ -422,30 +458,28 @@ def ic0_preconditioner(L: CsrMatrix, method: str = "levels",
     return apply, info
 
 
-def ilu0_preconditioner(L: CsrMatrix, U: CsrMatrix,
-                        method: str = "levels", sweeps: int = 6,
-                        dtype=None):
-    """M^-1 r = (L U)^-1 r from an ILU(0) factor (unit-diagonal L)."""
-    fwd = DeviceTriSolve.from_host(L, lower=True, unit_diag=True,
-                                   dtype=dtype)
-    bwd = DeviceTriSolve.from_host(U, lower=False, dtype=dtype)
-    if method == "levels":
-        def apply(r):
-            return bwd.solve(fwd.solve(r))
-    elif method == "sweeps":
-        def apply(r):
-            return tri_solve_sweeps(bwd, tri_solve_sweeps(
-                fwd, r, sweeps), sweeps)
-    else:
-        raise ValueError(f"unknown tri-solve method {method!r}")
-    info = {
-        "levels_forward": fwd.num_levels,
-        "levels_backward": bwd.num_levels,
-        "level_width": max(fwd.width, bwd.width),
-        "padding_factor": max(fwd.padding_factor, bwd.padding_factor),
-        "method": method,
-    }
+def ic0_preconditioner(L: CsrMatrix, method: str = "auto",
+                       sweeps: int = 6, dtype=None):
+    """M^-1 r = (L L^T)^-1 r from an IC(0) factor.
+
+    See :func:`_pair_solver` for the method choices ("auto" picks the
+    block matvec path when the ordering allows).  Returns
+    (apply_fn, info_dict).
+    """
+    apply, info = _pair_solver(
+        L, _transpose_csr(L), unit_lower=False,
+        method=method, sweeps=sweeps, dtype=dtype)
     return apply, info
+
+
+def ilu0_preconditioner(L: CsrMatrix, U: CsrMatrix,
+                        method: str = "auto", sweeps: int = 6,
+                        dtype=None):
+    """M^-1 r = (L U)^-1 r from an ILU(0) factor (unit-diagonal L).
+
+    See :func:`_pair_solver` for the method choices."""
+    return _pair_solver(L, U, unit_lower=True, method=method,
+                        sweeps=sweeps, dtype=dtype)
 
 
 def _transpose_csr(m: CsrMatrix) -> CsrMatrix:
@@ -467,3 +501,136 @@ def _transpose_csr(m: CsrMatrix) -> CsrMatrix:
         column_index=rows[order].astype(np.int32),
         value=vals[order],
     )
+
+
+# ------------------------------------------------- block-level tri solve
+
+class BlockTriSolve:
+    """Triangular solve as one fast-format matvec per dependency level.
+
+    Probe 51 measured the scatter/gather-based level scan at ~17 ns per
+    element on TPU — ~5000x the DIA SpMV it preconditions — because
+    XLA lowers 1-D scatter/gather to serial updates.  When the levels
+    are *contiguous row ranges* (exactly what multicolor reordering
+    produces: rows numbered color-major), no scatter is needed at all:
+
+        z[s_k:e_k] = (b[s_k:e_k] - T[s_k:e_k, :] @ z) * dinv[s_k:e_k]
+
+    The dep block ``T[s_k:e_k, :]`` is a rectangular sparse matrix
+    stored in the framework's own fast formats — DIA (zero-gather
+    shifted slices) when it has few distinct diagonals, CSR segment
+    form otherwise — so the whole solve is NL static slice updates +
+    NL-1 matvecs.  On a 2-colored 5-point Laplacian that is one DIA
+    matvec per triangle (probe 51b).
+    """
+
+    def __init__(self, n, starts, ends, blocks, diag_inv, dtype):
+        self.n = n
+        self.starts = starts          # static python ints
+        self.ends = ends
+        self.blocks = blocks          # per level: device matrix or None
+        self.diag_inv = diag_inv      # per level: (len,) array
+        self.dtype = dtype
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.starts)
+
+    @classmethod
+    def from_host(cls, t: CsrMatrix, lower: bool = True,
+                  unit_diag: bool = False, dtype=None,
+                  max_levels: int = 64,
+                  max_diagonals: int = 96) -> "BlockTriSolve":
+        """Build from a host triangular factor whose dependency levels
+        are contiguous row ranges (e.g. after ``--reorder color``).
+
+        Raises MatrixError when levels are non-contiguous or too many
+        (``max_levels``) — callers fall back to the scan/sweep paths.
+        """
+        from spmv_tpu.models.device import (
+            DeviceCsr,
+            DeviceDia,
+            default_value_dtype,
+        )
+        from spmv_tpu.models.dia import DiaMatrix
+
+        dtype = dtype or default_value_dtype()
+        rp = np.asarray(t.row_ptr, np.int64)
+        cols = np.asarray(t.column_index, np.int64)
+        vals = np.asarray(t.value, np.float64)
+        n = t.num_rows
+
+        levels = build_level_schedule(rp, cols, n, lower)
+        if len(levels) > max_levels:
+            raise MatrixError(
+                f"block tri-solve: {len(levels)} levels > "
+                f"{max_levels}; use the level-scan path (or reorder "
+                "with multicoloring)"
+            )
+        starts, ends = [], []
+        for lv in levels:
+            lv = np.sort(lv)
+            if lv.size and not (np.diff(lv) == 1).all():
+                raise MatrixError(
+                    "block tri-solve requires contiguous level "
+                    "ranges (color-major row numbering)"
+                )
+            starts.append(int(lv[0]) if lv.size else 0)
+            ends.append(int(lv[-1]) + 1 if lv.size else 0)
+
+        diag = np.ones(n, dtype=np.float64)
+        if not unit_diag:
+            for i in range(n):
+                sel = cols[rp[i]:rp[i + 1]] == i
+                if not sel.any():
+                    raise MatrixError(
+                        f"triangular factor row {i} has no diagonal")
+                diag[i] = vals[rp[i]:rp[i + 1]][sel][0]
+
+        blocks, dinvs = [], []
+        for s, e in zip(starts, ends):
+            # dep entries of rows [s, e): everything except the diagonal
+            bl_rows, bl_cols, bl_vals = [], [], []
+            for i in range(s, e):
+                c = cols[rp[i]:rp[i + 1]]
+                v = vals[rp[i]:rp[i + 1]]
+                keep = c != i
+                bl_rows.append(np.full(int(keep.sum()), i - s,
+                                       dtype=np.int64))
+                bl_cols.append(c[keep])
+                bl_vals.append(v[keep])
+            br = np.concatenate(bl_rows) if bl_rows else \
+                np.zeros(0, np.int64)
+            bc = np.concatenate(bl_cols) if bl_cols else \
+                np.zeros(0, np.int64)
+            bv = np.concatenate(bl_vals) if bl_vals else np.zeros(0)
+            if br.size == 0:
+                blocks.append(None)
+            else:
+                brp = np.zeros(e - s + 1, dtype=np.int64)
+                np.cumsum(np.bincount(br, minlength=e - s),
+                          out=brp[1:])
+                host = CsrMatrix(e - s, n, br.size, 1, brp,
+                                 bc.astype(np.int32), bv)
+                try:
+                    dia = DiaMatrix.from_csr(
+                        host, max_diagonals=max_diagonals)
+                    blocks.append(DeviceDia.from_host(dia, dtype=dtype))
+                except MatrixError:
+                    blocks.append(DeviceCsr.from_host(host, dtype=dtype))
+            dinvs.append(jnp.asarray(1.0 / diag[s:e], dtype=dtype))
+
+        return cls(n, starts, ends, blocks, dinvs, dtype)
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        from spmv_tpu.ops.spmv import spmv as _spmv
+
+        bf = b.astype(self.dtype)
+        z = jnp.zeros((self.n,), self.dtype)
+        for s, e, blk, dinv in zip(self.starts, self.ends,
+                                   self.blocks, self.diag_inv):
+            seg = jax.lax.dynamic_slice(bf, (s,), (e - s,))
+            if blk is not None:
+                seg = seg - _spmv(blk, z)
+            z = jax.lax.dynamic_update_slice(z, seg * dinv, (s,))
+        return z

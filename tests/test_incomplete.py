@@ -314,3 +314,112 @@ def test_cli_ic0_and_bicgstab(tmp_path, capsys):
     doc = json.loads(capsys.readouterr().out)
     assert doc["cg"]["solver"] == "bicgstab"
     assert doc["cg"]["solution_rms_error_vs_ones"] < 1e-4
+
+
+# --------------------------------------------------------- multicoloring
+
+def test_coloring_is_proper_and_collapses_levels():
+    from spmv_tpu.models.reorder import find_new_order_coloring
+
+    mm = poisson2d(12, 12)
+    order = find_new_order_coloring(mm)
+    n = mm.num_rows
+    assert sorted(order.tolist()) == list(range(n))
+
+    # proper coloring under the induced color labels: no off-diagonal
+    # entry may connect two rows of the same color.  Recover color
+    # boundaries from the permuted adjacency: within-color blocks must
+    # have no internal edges, which is equivalent to the level test
+    # below, so go straight to the operative property — IC(0) of the
+    # permuted matrix has as many forward levels as colors.
+    pm = mm.permute(order)
+    m2 = CsrMatrix.from_matrix_market(pm)
+    L = ic0_factor(m2)
+    levels = build_level_schedule(
+        np.asarray(L.row_ptr), np.asarray(L.column_index),
+        L.num_rows, lower=True)
+    # 5-point Laplacian is 2-colorable; greedy Welsh-Powell may use a
+    # couple more on the degree-ordered sweep, but nothing like the
+    # ~2*sqrt(n) levels of the natural order
+    natural = build_level_schedule(
+        np.asarray(ic0_factor(
+            CsrMatrix.from_matrix_market(mm)).row_ptr),
+        np.asarray(ic0_factor(
+            CsrMatrix.from_matrix_market(mm)).column_index),
+        mm.num_rows, lower=True)
+    assert len(levels) <= 4
+    assert len(natural) >= 12
+    # and PCG through the colored factor still converges
+    A = DeviceCsr.from_host(m2)
+    pre, info = ic0_preconditioner(L)
+    rng = np.random.default_rng(13)
+    b = jnp.asarray(rng.standard_normal(n))
+    res = preconditioned_conjugate_gradient(
+        lambda v: spmv(A, v), b, pre, tol=1e-8, max_iterations=2000)
+    xd = np.linalg.solve(_dense(m2), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), xd, rtol=1e-5,
+                               atol=1e-7)
+    assert info["levels_forward"] == len(levels)
+
+
+def test_cli_reorder_color(tmp_path, capsys):
+    import json
+
+    from spmv_tpu.cli import main
+    from spmv_tpu.io.matrix_market import write_matrix_market
+
+    mm = poisson2d(10, 10)
+    path = tmp_path / "a.mtx"
+    write_matrix_market(mm, str(path))
+    rc = main(["--matrix", str(path), "-s", "csr", "--cg", "500",
+               "--reorder", "color", "--precondition", "ic0"])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["cg"]["factorization"]["levels_forward"] <= 4
+    assert doc["cg"]["solution_rms_error_vs_ones"] < 1e-5
+
+
+def test_block_tri_solve_matches_dense():
+    from spmv_tpu.models.reorder import find_new_order_coloring
+    from spmv_tpu.ops.incomplete import BlockTriSolve
+
+    mm = poisson2d(10, 10)
+    order = find_new_order_coloring(mm)
+    m = CsrMatrix.from_matrix_market(mm.permute(order))
+    L = ic0_factor(m)
+    fwd = BlockTriSolve.from_host(L, lower=True)
+    assert fwd.num_levels <= 4
+    rng = np.random.default_rng(14)
+    b = rng.standard_normal(m.num_rows)
+    z = np.asarray(fwd.solve(jnp.asarray(b)))
+    want = np.linalg.solve(_dense(L), b)
+    np.testing.assert_allclose(z, want, rtol=1e-10, atol=1e-12)
+    # backward triangle through the transpose
+    bwd = BlockTriSolve.from_host(_transpose_csr(L), lower=False)
+    z2 = np.asarray(bwd.solve(jnp.asarray(b)))
+    want2 = np.linalg.solve(_dense(L).T, b)
+    np.testing.assert_allclose(z2, want2, rtol=1e-10, atol=1e-12)
+
+
+def test_block_tri_solve_rejects_noncontiguous():
+    from spmv_tpu.ops.incomplete import BlockTriSolve
+
+    m = CsrMatrix.from_matrix_market(poisson2d(8, 8))
+    L = ic0_factor(m)
+    with pytest.raises(MatrixError):
+        BlockTriSolve.from_host(L, lower=True)
+
+
+def test_auto_method_picks_blocks_when_colored():
+    from spmv_tpu.models.reorder import find_new_order_coloring
+
+    mm = poisson2d(10, 10)
+    mc = CsrMatrix.from_matrix_market(
+        mm.permute(find_new_order_coloring(mm)))
+    L = ic0_factor(mc)
+    _, info = ic0_preconditioner(L)           # method="auto"
+    assert info["method"] == "blocks"
+    assert "dia" in info["block_formats"]
+    mn = CsrMatrix.from_matrix_market(mm)
+    _, info_n = ic0_preconditioner(ic0_factor(mn))
+    assert info_n["method"] == "levels"
