@@ -84,6 +84,45 @@ def poisson2d(nx: int, ny: int = None) -> MatrixMarket:
     )
 
 
+def anisotropic2d(nx: int, ny: int = None,
+                  epsilon: float = 100.0) -> MatrixMarket:
+    """Anisotropic 5-point Laplacian: stencil
+    (2 + 2*epsilon, -1, -1, -epsilon, -epsilon).
+
+    SPD like :func:`poisson2d` but with condition number growing with
+    ``epsilon`` — the standard stress case for preconditioners (plain
+    CG iteration counts blow up; incomplete factorizations couple the
+    strong direction and cut them disproportionately).
+    """
+    if ny is None:
+        ny = nx
+    n = nx * ny
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+    iy = idx // nx
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 2.0 + 2.0 * epsilon)]
+
+    def neighbor(mask, offset, w):
+        r = idx[mask]
+        rows.append(r)
+        cols.append(r + offset)
+        vals.append(np.full(r.size, -w))
+
+    neighbor(ix > 0, -1, 1.0)
+    neighbor(ix < nx - 1, +1, 1.0)
+    neighbor(iy > 0, -nx, epsilon)
+    neighbor(iy < ny - 1, +nx, epsilon)
+
+    return from_coo_arrays(
+        n, n,
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
+        symmetry="general",
+    )
+
+
 def random_sparse(
     num_rows: int,
     num_columns: int,

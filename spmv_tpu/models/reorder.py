@@ -240,15 +240,20 @@ def find_new_order_coloring(mm: MatrixMarket) -> np.ndarray:
     sptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(np.bincount(si, minlength=n), out=sptr[1:])
 
-    color = np.full(n, -1, dtype=np.int64)
     visit = np.argsort(-(np.bincount(si, minlength=n)), kind="stable")
-    for v in visit:
-        neigh = sj[sptr[v]:sptr[v + 1]]
-        used = set(color[neigh][color[neigh] >= 0].tolist())
-        c = 0
-        while c in used:
-            c += 1
-        color[v] = c
+    from spmv_tpu.ops import _ic_native
+
+    if _ic_native.available():
+        color = _ic_native.greedy_color(sptr, sj, visit)
+    else:
+        color = np.full(n, -1, dtype=np.int64)
+        for v in visit:
+            neigh = sj[sptr[v]:sptr[v + 1]]
+            used = set(color[neigh][color[neigh] >= 0].tolist())
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
     # number rows color-major, stable within a color
     perm = np.lexsort((np.arange(n), color))
     new_order = np.empty(n, dtype=np.int64)

@@ -75,66 +75,75 @@ def _csr_arrays(m: CsrMatrix):
             np.asarray(m.value, np.float64))
 
 
-def ic0_factor(m: CsrMatrix, shift: float = 0.0) -> CsrMatrix:
+def ic0_factor(m: CsrMatrix, shift: float = 0.0,
+               native: bool = True) -> CsrMatrix:
     """IC(0): lower-triangular L on lower(A)'s pattern, L L^T ~= A.
 
     Row-by-row left-looking update restricted to the pattern.  A
     non-positive pivot (A not SPD enough for the incomplete pattern)
     raises unless ``shift`` > 0 is supplied, in which case the
     factorization runs on A + shift*diag(A) (Manteuffel shift).
+
+    ``native``: run the numeric update through csrc/ic0.cpp when the
+    library is available (~100x the Python loop; identical output —
+    the lockstep test pins it); pass False to force the Python path.
     """
     if m.num_rows != m.num_columns:
         raise MatrixError("ic0 requires a square matrix")
     rp, cols, vals = _csr_arrays(m)
     n = m.num_rows
 
-    # per-row sorted lower-pattern (incl. diagonal)
+    # sorted lower pattern (incl. diagonal), fully vectorized
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    order = np.lexsort((cols, rows))
+    rs, cs, vs = rows[order], cols[order], vals[order]
+    low = cs <= rs
+    rs, lcols, lvals = rs[low], cs[low], \
+        np.ascontiguousarray(vs[low], np.float64)
+    is_diag = lcols == rs
+    if int(is_diag.sum()) != n:
+        bad = int(np.setdiff1d(
+            np.arange(n), rs[is_diag], assume_unique=False)[0])
+        raise MatrixError(f"ic0: row {bad} has no diagonal entry")
+    if shift:
+        lvals[is_diag] *= 1.0 + shift
     lrp = np.zeros(n + 1, dtype=np.int64)
-    lcols_l, lvals_l = [], []
-    for i in range(n):
-        s, e = rp[i], rp[i + 1]
-        c = cols[s:e]
-        v = vals[s:e]
-        order = np.argsort(c, kind="stable")
-        c, v = c[order], v[order]
-        sel = c <= i
-        c, v = c[sel], v[sel]
-        if c.size == 0 or c[-1] != i:
-            raise MatrixError(f"ic0: row {i} has no diagonal entry")
-        if shift:
-            v = v.copy()
-            v[-1] = v[-1] * (1.0 + shift)
-        lcols_l.append(c)
-        lvals_l.append(v)
-        lrp[i + 1] = lrp[i] + c.size
-    lcols = np.concatenate(lcols_l)
-    lvals = np.concatenate(lvals_l)
+    np.cumsum(np.bincount(rs, minlength=n), out=lrp[1:])
 
-    # row start lookup for the dot products
-    for i in range(n):
-        s, e = lrp[i], lrp[i + 1]
-        ci = lcols[s:e]
-        # off-diagonal entries first
-        for t in range(e - s - 1):
-            j = ci[t]
-            sj, ej = lrp[j], lrp[j + 1]
-            # dot of L[i, :j] and L[j, :j] over the pattern
-            # intersection (both column-sorted)
-            acc = _sorted_dot(
-                lcols[s:s + t], lvals[s:s + t],
-                lcols[sj:ej - 1], lvals[sj:ej - 1],
-            )
-            dj = lvals[ej - 1]
-            lvals[s + t] = (lvals[s + t] - acc) / dj
-        # diagonal
-        off = lvals[s:e - 1]
-        pivot = lvals[e - 1] - float(off @ off)
-        if pivot <= 0.0:
+    from spmv_tpu.ops import _ic_native
+
+    if native and _ic_native.available():
+        code = _ic_native.ic0_inplace(lrp, lcols, lvals)
+        if code:
             raise MatrixError(
-                f"ic0: non-positive pivot {pivot:.3e} at row {i}; "
+                f"ic0: non-positive pivot at row {code - 1}; "
                 "retry with a Manteuffel shift (shift=0.01 .. 0.1)"
             )
-        lvals[e - 1] = np.sqrt(pivot)
+    else:
+        for i in range(n):
+            s, e = lrp[i], lrp[i + 1]
+            ci = lcols[s:e]
+            # off-diagonal entries first
+            for t in range(e - s - 1):
+                j = ci[t]
+                sj, ej = lrp[j], lrp[j + 1]
+                # dot of L[i, :j] and L[j, :j] over the pattern
+                # intersection (both column-sorted)
+                acc = _sorted_dot(
+                    lcols[s:s + t], lvals[s:s + t],
+                    lcols[sj:ej - 1], lvals[sj:ej - 1],
+                )
+                dj = lvals[ej - 1]
+                lvals[s + t] = (lvals[s + t] - acc) / dj
+            # diagonal
+            off = lvals[s:e - 1]
+            pivot = lvals[e - 1] - float(off @ off)
+            if pivot <= 0.0:
+                raise MatrixError(
+                    f"ic0: non-positive pivot {pivot:.3e} at row {i}; "
+                    "retry with a Manteuffel shift (shift=0.01 .. 0.1)"
+                )
+            lvals[e - 1] = np.sqrt(pivot)
 
     return CsrMatrix(
         num_rows=n, num_columns=n, num_entries=int(lrp[-1]),
@@ -156,91 +165,84 @@ def _sorted_dot(c1, v1, c2, v2) -> float:
     return float(v1[match] @ v2[i1[match]])
 
 
-def ilu0_factor(m: CsrMatrix) -> tuple:
+def ilu0_factor(m: CsrMatrix, native: bool = True) -> tuple:
     """ILU(0): (L_unit, U) on A's pattern, L U ~= A.
 
     IKJ-variant Gaussian elimination restricted to the pattern
     (Saad, Iterative Methods, alg. 10.4).  L has unit diagonal
-    (stored without it); U holds the diagonal.
+    (stored without it); U holds the diagonal.  ``native`` as in
+    :func:`ic0_factor`.
     """
     if m.num_rows != m.num_columns:
         raise MatrixError("ilu0 requires a square matrix")
     rp, cols, vals = _csr_arrays(m)
     n = m.num_rows
 
-    # column-sorted copies + fast (i, j) -> slot lookup per row
+    # column-sorted copy + flat (i, i) slot lookup, fully vectorized
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    order = np.lexsort((cols, rows))
+    rs = rows[order]
+    a_cols = cols[order]
+    a_vals = vals[order].copy()
     a_rp = np.zeros(n + 1, dtype=np.int64)
-    a_cols_l, a_vals_l = [], []
-    for i in range(n):
-        c = cols[rp[i]:rp[i + 1]]
-        v = vals[rp[i]:rp[i + 1]]
-        order = np.argsort(c, kind="stable")
-        a_cols_l.append(c[order])
-        a_vals_l.append(v[order].copy())
-        a_rp[i + 1] = a_rp[i] + c.size
-    a_cols = np.concatenate(a_cols_l)
-    a_vals = np.concatenate(a_vals_l)
+    np.cumsum(np.bincount(rs, minlength=n), out=a_rp[1:])
 
-    diag_slot = np.full(n, -1, dtype=np.int64)
-    for i in range(n):
-        s, e = a_rp[i], a_rp[i + 1]
-        d = np.searchsorted(a_cols[s:e], i)
-        if d == e - s or a_cols[s + d] != i:
-            raise MatrixError(f"ilu0: row {i} has no diagonal entry")
-        diag_slot[i] = s + d
+    is_diag = a_cols == rs
+    if int(is_diag.sum()) != n:
+        bad = int(np.setdiff1d(np.arange(n), rs[is_diag])[0])
+        raise MatrixError(f"ilu0: row {bad} has no diagonal entry")
+    diag_slot = np.nonzero(is_diag)[0].astype(np.int64)
 
-    for i in range(1, n):
-        s, e = a_rp[i], a_rp[i + 1]
-        ci = a_cols[s:e]
-        for t in range(e - s):
-            k = ci[t]
-            if k >= i:
-                break
-            piv = a_vals[diag_slot[k]]
-            if piv == 0.0:
-                raise MatrixError(f"ilu0: zero pivot at row {k}")
-            lik = a_vals[s + t] / piv
-            a_vals[s + t] = lik
-            # subtract lik * U[k, j] for j > k in row i's pattern
-            ks, ke = diag_slot[k] + 1, a_rp[k + 1]
-            if ks < ke:
-                cj = a_cols[ks:ke]
-                pos = np.searchsorted(ci, cj)
-                ok = pos < ci.size
-                okm = np.zeros(cj.size, dtype=bool)
-                okm[ok] = ci[pos[ok]] == cj[ok]
-                a_vals[s + pos[okm]] -= lik * a_vals[ks:ke][okm]
+    from spmv_tpu.ops import _ic_native
 
-    # split into L (strict lower, unit diag implied) and U (upper)
+    a_vals = np.ascontiguousarray(a_vals, np.float64)
+    if native and _ic_native.available():
+        code = _ic_native.ilu0_inplace(a_rp, a_cols, a_vals, diag_slot)
+        if code:
+            raise MatrixError(f"ilu0: zero pivot at row {code - 1}")
+    else:
+        for i in range(1, n):
+            s, e = a_rp[i], a_rp[i + 1]
+            ci = a_cols[s:e]
+            for t in range(e - s):
+                k = ci[t]
+                if k >= i:
+                    break
+                piv = a_vals[diag_slot[k]]
+                if piv == 0.0:
+                    raise MatrixError(f"ilu0: zero pivot at row {k}")
+                lik = a_vals[s + t] / piv
+                a_vals[s + t] = lik
+                # subtract lik * U[k, j] for j > k in row i's pattern
+                ks, ke = diag_slot[k] + 1, a_rp[k + 1]
+                if ks < ke:
+                    cj = a_cols[ks:ke]
+                    pos = np.searchsorted(ci, cj)
+                    ok = pos < ci.size
+                    okm = np.zeros(cj.size, dtype=bool)
+                    okm[ok] = ci[pos[ok]] == cj[ok]
+                    a_vals[s + pos[okm]] -= lik * a_vals[ks:ke][okm]
+
+    # split into L (strict lower, unit diag implied) and U (upper);
+    # entries are already row-major + column-sorted, so boolean masks
+    # preserve both orders
+    low = a_cols < rs
     l_rp = np.zeros(n + 1, dtype=np.int64)
     u_rp = np.zeros(n + 1, dtype=np.int64)
-    l_cols_l, l_vals_l, u_cols_l, u_vals_l = [], [], [], []
-    for i in range(n):
-        s, e = a_rp[i], a_rp[i + 1]
-        c = a_cols[s:e]
-        v = a_vals[s:e]
-        low = c < i
-        up = c >= i
-        l_cols_l.append(c[low])
-        l_vals_l.append(v[low])
-        u_cols_l.append(c[up])
-        u_vals_l.append(v[up])
-        l_rp[i + 1] = l_rp[i] + int(low.sum())
-        u_rp[i + 1] = u_rp[i] + int(up.sum())
+    np.cumsum(np.bincount(rs[low], minlength=n), out=l_rp[1:])
+    np.cumsum(np.bincount(rs[~low], minlength=n), out=u_rp[1:])
 
     L = CsrMatrix(
         num_rows=n, num_columns=n, num_entries=int(l_rp[-1]),
         row_alignment=1, row_ptr=l_rp,
-        column_index=np.concatenate(l_cols_l).astype(np.int32)
-        if l_rp[-1] else np.zeros(0, np.int32),
-        value=np.concatenate(l_vals_l) if l_rp[-1]
-        else np.zeros(0),
+        column_index=a_cols[low].astype(np.int32),
+        value=a_vals[low],
     )
     U = CsrMatrix(
         num_rows=n, num_columns=n, num_entries=int(u_rp[-1]),
         row_alignment=1, row_ptr=u_rp,
-        column_index=np.concatenate(u_cols_l).astype(np.int32),
-        value=np.concatenate(u_vals_l),
+        column_index=a_cols[~low].astype(np.int32),
+        value=a_vals[~low],
     )
     return L, U
 
@@ -254,13 +256,19 @@ def build_level_schedule(rp, cols, n, lower: bool) -> list:
     otherwise columns > row (backward solve, computed in reverse).
     Returns a list of int64 row arrays, one per level.
     """
-    level = np.zeros(n, dtype=np.int64)
-    rows_iter = range(n) if lower else range(n - 1, -1, -1)
-    for i in rows_iter:
-        deps = cols[rp[i]:rp[i + 1]]
-        deps = deps[deps < i] if lower else deps[deps > i]
-        if deps.size:
-            level[i] = level[deps].max() + 1
+    from spmv_tpu.ops import _ic_native
+
+    if _ic_native.available():
+        level = _ic_native.level_schedule(
+            np.asarray(rp), np.asarray(cols), n, lower)
+    else:
+        level = np.zeros(n, dtype=np.int64)
+        rows_iter = range(n) if lower else range(n - 1, -1, -1)
+        for i in rows_iter:
+            deps = cols[rp[i]:rp[i + 1]]
+            deps = deps[deps < i] if lower else deps[deps > i]
+            if deps.size:
+                level[i] = level[deps].max() + 1
     nl = int(level.max()) + 1 if n else 0
     order = np.argsort(level, kind="stable")
     bounds = np.searchsorted(level[order], np.arange(nl + 1))
@@ -313,22 +321,19 @@ class DeviceTriSolve:
         nl = len(levels)
         W = max((int(lv.size) for lv in levels), default=1)
 
-        diag = np.ones(n, dtype=np.float64)
-        deps_c, deps_v = [], []
-        max_e = 1
-        for i in range(n):
-            c = cols[rp[i]:rp[i + 1]]
-            v = vals[rp[i]:rp[i + 1]]
-            if not unit_diag:
-                is_d = c == i
-                if not is_d.any():
-                    raise MatrixError(
-                        f"triangular factor row {i} has no diagonal")
-                diag[i] = v[is_d][0]
-                c, v = c[~is_d], v[~is_d]
-            deps_c.append(c)
-            deps_v.append(v)
-            max_e = max(max_e, c.size)
+        rows_flat = np.repeat(np.arange(n, dtype=np.int64),
+                              np.diff(rp))
+        diag, keep = _extract_diag(rows_flat, cols, vals, n, unit_diag)
+        kr, kc, kv = rows_flat[keep], cols[keep], vals[keep]
+        cnt = np.bincount(kr, minlength=n)
+        max_e = max(int(cnt.max(initial=0)), 1)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        slot = np.arange(kr.size, dtype=np.int64) - starts[kr]
+        dense_c = np.full((n, max_e), n, dtype=np.int64)
+        dense_v = np.zeros((n, max_e), dtype=np.float64)
+        dense_c[kr, slot] = kc
+        dense_v[kr, slot] = kv
 
         rows_a = np.full((max(nl, 1), W), n, dtype=np.int32)
         cols_a = np.full((max(nl, 1), W, max_e), n, dtype=np.int32)
@@ -337,10 +342,8 @@ class DeviceTriSolve:
         for l, lv in enumerate(levels):
             rows_a[l, : lv.size] = lv
             dinv_a[l, : lv.size] = 1.0 / diag[lv]
-            for w, i in enumerate(lv):
-                e = deps_c[i].size
-                cols_a[l, w, :e] = deps_c[i]
-                vals_a[l, w, :e] = deps_v[i]
+            cols_a[l, : lv.size] = dense_c[lv]
+            vals_a[l, : lv.size] = dense_v[lv]
 
         return cls(
             n=n, num_levels=nl, width=W, max_deps=max_e,
@@ -373,6 +376,24 @@ class DeviceTriSolve:
             (self.rows, self.dep_cols, self.dep_vals, self.diag_inv),
         )
         return z[: self.n]
+
+
+def _extract_diag(rows_flat, cols, vals, n, unit_diag):
+    """(diag, keep-mask) of a triangular factor's flat arrays; keep
+    selects the off-diagonal (dependency) entries.  Vectorized — the
+    per-row python loops cost seconds at production sizes."""
+    if unit_diag:
+        return np.ones(n, dtype=np.float64), np.ones(
+            rows_flat.size, dtype=bool)
+    is_d = cols == rows_flat
+    found = np.bincount(rows_flat[is_d], minlength=n)
+    if (found == 0).any():
+        bad = int(np.nonzero(found == 0)[0][0])
+        raise MatrixError(
+            f"triangular factor row {bad} has no diagonal")
+    diag = np.zeros(n, dtype=np.float64)
+    diag[rows_flat[is_d]] = vals[is_d]
+    return diag, ~is_d
 
 
 def tri_solve_sweeps(t: "DeviceTriSolve", b: jax.Array,
@@ -578,32 +599,20 @@ class BlockTriSolve:
             starts.append(int(lv[0]) if lv.size else 0)
             ends.append(int(lv[-1]) + 1 if lv.size else 0)
 
-        diag = np.ones(n, dtype=np.float64)
-        if not unit_diag:
-            for i in range(n):
-                sel = cols[rp[i]:rp[i + 1]] == i
-                if not sel.any():
-                    raise MatrixError(
-                        f"triangular factor row {i} has no diagonal")
-                diag[i] = vals[rp[i]:rp[i + 1]][sel][0]
+        rows_flat = np.repeat(np.arange(n, dtype=np.int64),
+                              np.diff(rp))
+        diag, keep = _extract_diag(rows_flat, cols, vals, n, unit_diag)
 
         blocks, dinvs = [], []
         for s, e in zip(starts, ends):
-            # dep entries of rows [s, e): everything except the diagonal
-            bl_rows, bl_cols, bl_vals = [], [], []
-            for i in range(s, e):
-                c = cols[rp[i]:rp[i + 1]]
-                v = vals[rp[i]:rp[i + 1]]
-                keep = c != i
-                bl_rows.append(np.full(int(keep.sum()), i - s,
-                                       dtype=np.int64))
-                bl_cols.append(c[keep])
-                bl_vals.append(v[keep])
-            br = np.concatenate(bl_rows) if bl_rows else \
-                np.zeros(0, np.int64)
-            bc = np.concatenate(bl_cols) if bl_cols else \
-                np.zeros(0, np.int64)
-            bv = np.concatenate(bl_vals) if bl_vals else np.zeros(0)
+            # dep entries of rows [s, e): everything except the
+            # diagonal — one flat slice per level (levels are
+            # contiguous row ranges, entries row-major)
+            sl = slice(int(rp[s]), int(rp[e]) if e <= n else rp[-1])
+            m = keep[sl]
+            br = rows_flat[sl][m] - s
+            bc = cols[sl][m]
+            bv = vals[sl][m]
             if br.size == 0:
                 blocks.append(None)
             else:

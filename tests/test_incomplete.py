@@ -423,3 +423,60 @@ def test_auto_method_picks_blocks_when_colored():
     mn = CsrMatrix.from_matrix_market(mm)
     _, info_n = ic0_preconditioner(ic0_factor(mn))
     assert info_n["method"] == "levels"
+
+
+def test_anisotropic_generator_spd_and_pcg():
+    from spmv_tpu.io.generate import anisotropic2d
+
+    mm = anisotropic2d(8, 8, epsilon=50.0)
+    m = CsrMatrix.from_matrix_market(mm)
+    A = _dense(m)
+    np.testing.assert_allclose(A, A.T)
+    assert (np.linalg.eigvalsh(A) > 0).all()
+    L = ic0_factor(m)
+    pre, _ = ic0_preconditioner(L)
+    Ad = DeviceCsr.from_host(m)
+    rng = np.random.default_rng(15)
+    b = jnp.asarray(rng.standard_normal(m.num_rows))
+    res = preconditioned_conjugate_gradient(
+        lambda v: spmv(Ad, v), b, pre, tol=1e-9, max_iterations=3000)
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.linalg.solve(A, np.asarray(b)),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_native_factor_lockstep():
+    # The native csrc/ic0.cpp kernels mirror the Python loops' math;
+    # only the sparse-dot reduction order differs (numpy pairwise vs
+    # serial accumulation), so agreement is to reduction-order
+    # rounding, with identical patterns and identical error behavior.
+    from spmv_tpu.ops import _ic_native
+
+    if not _ic_native.available():
+        pytest.skip("no native ic0 library / compiler")
+    mm = poisson2d(17, 13)
+    m = CsrMatrix.from_matrix_market(mm)
+    Ln = ic0_factor(m, native=True)
+    Lp = ic0_factor(m, native=False)
+    np.testing.assert_array_equal(Ln.column_index, Lp.column_index)
+    np.testing.assert_allclose(Ln.value, Lp.value, rtol=1e-13,
+                               atol=1e-15)
+
+    mg = _nonsym_diag_dominant(60, seed=16)
+    Ln_, Un = ilu0_factor(mg, native=True)
+    Lp_, Up = ilu0_factor(mg, native=False)
+    np.testing.assert_allclose(Ln_.value, Lp_.value, rtol=1e-13,
+                               atol=1e-15)
+    np.testing.assert_allclose(Un.value, Up.value, rtol=1e-13,
+                               atol=1e-15)
+    # and the non-positive-pivot path still errors identically
+    n = 4
+    A = np.diag([1.0, 1.0, 1.0, 1.0])
+    A[0, 1] = A[1, 0] = 2.0
+    rows, cols = np.nonzero(A)
+    rp = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=rp[1:])
+    bad = CsrMatrix(n, n, rows.size, 1, rp, cols.astype(np.int32),
+                    A[rows, cols])
+    with pytest.raises(MatrixError):
+        ic0_factor(bad, native=True)
