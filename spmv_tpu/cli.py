@@ -33,7 +33,7 @@ __all__ = ["main", "build_parser"]
 
 SPMV_FORMATS = (
     "auto", "coo", "coo-atomic", "csr", "ell", "hybrid", "dia", "well",
-    "wellcw", "xla-csr"
+    "wellcw", "bsr", "xla-csr"
 )
 
 
@@ -253,7 +253,7 @@ def _solve_cg(args, out) -> None:
         default_value_dtype,
         device_put_matrix,
     )
-    from spmv_tpu.ops import conjugate_gradient, spmv
+    from spmv_tpu.ops import conjugate_gradient, fast_spmv as spmv
     from spmv_tpu.ops.solvers import (
         extract_diagonal,
         jacobi_preconditioner,

@@ -38,6 +38,7 @@ from spmv_tpu.perfmodel.layout import VirtualLayout
 from spmv_tpu.perfmodel.refstring import (
     IDX,
     VAL,
+    bsr_spmv_refstring,
     coo_atomic_spmv_refstring,
     coo_spmv_refstring,
     dia_spmv_refstring,
@@ -62,6 +63,7 @@ KERNEL_NAMES = (
     "dia",
     "well",
     "wellcw",
+    "bsr",
     "xla-csr",
 )
 
@@ -747,6 +749,79 @@ def _x64() -> bool:
         return False
 
 
+class BsrKernel(_MatrixKernel):
+    """BSR (block sparse row) kernel — the TPU-native MXU format:
+    dense (block_rows, 128) tiles feed batched matmuls, so SpMM-heavy
+    callers amortize one block gather over the whole X panel
+    (spmv_tpu/models/bsr.py, ops.pallas_kernels.bsr_spmm).  No
+    reference counterpart (its closest format surface is the
+    main.cpp:166-188 switch this factory mirrors)."""
+
+    name = "bsr"
+
+    def __init__(self, *args, block_rows="auto", **kw):
+        super().__init__(*args, **kw)
+        self.block_rows = block_rows
+
+    def _convert(self, mm):
+        from spmv_tpu.models.bsr import BsrMatrix
+
+        return BsrMatrix.from_matrix_market(
+            mm, block_rows=self.block_rows)
+
+    def _make_layout(self):
+        from spmv_tpu.models.bsr import BLOCK
+
+        m = self.matrix
+        lay = VirtualLayout()
+        lay.allocate("blocks", m.blocks.size, VAL)
+        lay.allocate("block_col", m.block_col.size, IDX)
+        lay.allocate("block_rowptr", m.block_rowptr.size, IDX)
+        # padded vector footprints, matching the device layout
+        ncb = -(-m.num_columns // BLOCK)
+        lay.allocate("x", ncb * BLOCK, VAL)
+        lay.allocate("y", m.num_block_rows * m.block_rows, VAL)
+        return lay
+
+    def memory_reference_string(self, trace_config, thread, num_threads):
+        return bsr_spmv_refstring(
+            self.matrix, self.layout, thread, num_threads,
+            np.asarray(trace_config.numa_domains_of_threads()),
+        )
+
+    def bytes_per_run(self) -> int:
+        from spmv_tpu.models.bsr import BLOCK
+
+        m = self.matrix
+        vb = _dev_val_bytes()
+        nb = int(m.num_blocks)
+        return (
+            nb * m.block_rows * BLOCK * vb   # stored blocks streamed
+            + nb * IDX                       # block_col
+            + (m.num_block_rows + 1) * IDX   # block_rowptr
+            + m.num_columns * vb             # x read at least once
+            + m.num_rows * vb                # y written
+        )
+
+    def run_fn(self):
+        import jax.numpy as jnp
+
+        from spmv_tpu.models.device import (
+            DeviceBsr,
+            default_value_dtype,
+        )
+        from spmv_tpu.ops import spmv
+
+        A = DeviceBsr.from_host(self.matrix)
+        x = jnp.ones((self.matrix.num_columns,), default_value_dtype())
+
+        def step(v, A):
+            y = spmv(A, v[: A.num_columns])
+            return _chain_output(y, v)
+
+        return step, (x, A)
+
+
 def make_kernel(
     name: str,
     matrix_path: str = None,
@@ -767,6 +842,7 @@ def make_kernel(
         "dia": DiaKernel,
         "well": WellKernel,
         "wellcw": WellCwKernel,
+        "bsr": BsrKernel,
         "xla-csr": XlaCsrKernel,
     }
     if name not in classes:

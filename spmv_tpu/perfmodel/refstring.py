@@ -697,3 +697,84 @@ def wellcw_spmv_refstring(
         parts_a.append(a1)
         parts_n.append(n1)
     return np.concatenate(parts_a), np.concatenate(parts_n)
+
+
+def bsr_spmv_refstring(
+    m,
+    layout: VirtualLayout,
+    thread: int,
+    num_threads: int,
+    numa_domains: np.ndarray,
+    page_size: int = PAGE_SIZE_DEFAULT,
+) -> RefString:
+    """Reference string for the BSR kernel (TPU-native block format;
+    no reference counterpart — modeled after the CSR string's
+    structure and attribution rules, csr-matrix.cpp:97-143, with the
+    row loop lifted to block rows).
+
+    Requires 'blocks' (NB*bh*128 f64), 'block_col' (int32),
+    'block_rowptr' (int64), 'x' (padded to ncb*128 f64), 'y' (padded
+    to nbr*bh f64).  Layout: block_rowptr[start], then per block row
+    br: block_rowptr[br+1], per block (block_col, the bh*128 stored
+    values, the 128-element x tile), then the bh y outputs.  x refs
+    attribute to the owning thread's NUMA domain.
+    """
+    from spmv_tpu.models.bsr import BLOCK
+
+    blocks_a = layout["blocks"]
+    bc_a = layout["block_col"]
+    rp_a = layout["block_rowptr"]
+    x_a = layout["x"]
+    y_a = layout["y"]
+
+    nbr = m.num_block_rows
+    bh = int(m.block_rows)
+    lo, hi = _equal_block(nbr, num_threads, thread)
+    rows = hi - lo
+    if rows <= 0:
+        addrs = np.array([rp_a.addresses(lo)], dtype=np.uint64)
+        return addrs, np.full(1, numa_domains[thread], dtype=np.int32)
+
+    rp = np.asarray(m.block_rowptr, np.int64)
+    lengths = np.diff(rp[lo:hi + 1])
+    nb_t = int(lengths.sum())
+    per_block = 1 + bh * BLOCK + BLOCK
+    total = 1 + rows * (1 + bh) + nb_t * per_block
+    addrs = np.empty(total, dtype=np.uint64)
+    numas = np.full(total, numa_domains[thread], dtype=np.int32)
+
+    addrs[0] = rp_a.addresses(lo)
+    row_base = 1 + np.concatenate(
+        ([0], np.cumsum(1 + bh + lengths * per_block)[:-1])
+    )
+    addrs[row_base] = rp_a.addresses(
+        np.arange(lo + 1, hi + 1, dtype=np.int64))
+    y_pos = row_base + 1 + lengths * per_block
+    y_rows = (np.arange(lo, hi, dtype=np.int64)[:, None] * bh
+              + np.arange(bh, dtype=np.int64)[None, :])
+    addrs[(y_pos[:, None] + np.arange(bh)[None, :]).reshape(-1)] = \
+        y_a.addresses(y_rows.reshape(-1))
+
+    if nb_t:
+        t = np.arange(rp[lo], rp[hi], dtype=np.int64)
+        local_b = t - np.repeat(rp[lo:hi], lengths)
+        pos = np.repeat(row_base, lengths) + 1 + local_b * per_block
+        addrs[pos] = bc_a.addresses(t)
+        # stored block values, element order
+        val_idx = (t[:, None] * (bh * BLOCK)
+                   + np.arange(bh * BLOCK, dtype=np.int64)[None, :])
+        val_pos = pos[:, None] + 1 + np.arange(bh * BLOCK)[None, :]
+        addrs[val_pos.reshape(-1)] = blocks_a.addresses(
+            val_idx.reshape(-1))
+        # the 128-wide x tile of the block column
+        bcols = np.asarray(m.block_col, np.int64)[rp[lo]:rp[hi]]
+        x_idx = (bcols[:, None] * BLOCK
+                 + np.arange(BLOCK, dtype=np.int64)[None, :])
+        x_pos = pos[:, None] + 1 + bh * BLOCK \
+            + np.arange(BLOCK)[None, :]
+        addrs[x_pos.reshape(-1)] = x_a.addresses(x_idx.reshape(-1))
+        numas[x_pos.reshape(-1)] = numa_domains[
+            thread_of_index(x_a, x_idx.reshape(-1), num_threads,
+                            page_size)
+        ]
+    return addrs, numas

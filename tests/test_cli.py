@@ -59,7 +59,7 @@ def _run(argv):
     return rc, out.getvalue()
 
 
-@pytest.mark.parametrize("fmt", ["csr", "coo", "ell", "hybrid", "dia", "well"])
+@pytest.mark.parametrize("fmt", ["csr", "coo", "ell", "hybrid", "dia", "well", "bsr"])
 def test_simulate_mode(matrix_file, config_file, fmt):
     rc, text = _run(
         ["--matrix", matrix_file, "--trace-config", config_file,
@@ -241,3 +241,42 @@ def test_list_devices_introspection():
     v5e = next(m for m in doc["machine_models"]
                if m["name"] == "tpu-v5e")
     assert v5e["resident_bytes"] == 96 * 1024**2
+
+
+def test_auto_spmm_selects_bsr_and_runs(tmp_path):
+    # auto_format(workload="spmm") can hand the factory a BsrMatrix;
+    # the CLI must be able to profile it (this path used to KeyError
+    # before the bsr kernel existed).
+    import numpy as np
+
+    from spmv_tpu.io.generate import from_coo_arrays
+    from spmv_tpu.io.matrix_market import write_matrix_market
+
+    n = 512
+    bh = 8
+    rng = np.random.default_rng(3)
+    rows_l, cols_l = [], []
+    for br in range(n // bh):
+        for bc in np.unique(rng.integers(0, n // 128, 2)):
+            r, c = np.meshgrid(np.arange(bh), np.arange(128),
+                               indexing="ij")
+            rows_l.append((br * bh + r).ravel())
+            cols_l.append((bc * 128 + c).ravel())
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    mm = from_coo_arrays(n, n, rows, cols,
+                         rng.standard_normal(rows.size))
+    path = tmp_path / "blocky.mtx"
+    write_matrix_market(mm, str(path))
+
+    from spmv_tpu.models import auto_format
+
+    matrix, rationale = auto_format(mm, workload="spmm")
+    assert rationale["format"] == "bsr"
+
+    rc, text = _run(["--matrix", str(path), "-s", "auto",
+                     "--profile", "2", "--spmm", "4"])
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["kernel"]["name"] == "bsr"
+    assert doc["op"] == {"kind": "spmm", "k": 4}
