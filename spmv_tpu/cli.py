@@ -74,10 +74,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "device and report convergence + timing")
     p.add_argument("--cg-tol", type=float, default=1e-6,
                    help="CG relative-residual tolerance (default 1e-6)")
-    p.add_argument("--solver", choices=("cg", "bicgstab"),
+    p.add_argument("--solver",
+                   choices=("cg", "bicgstab", "gmres", "chebyshev"),
                    default="cg",
                    help="with --cg: Krylov method (cg for SPD systems, "
-                        "bicgstab for general matrices)")
+                        "bicgstab/gmres for general matrices, "
+                        "chebyshev for SPD with Lanczos-estimated "
+                        "spectral bounds — its loop needs no inner "
+                        "products, so a sharded run has no "
+                        "per-iteration reduction collective)")
+    p.add_argument("--restart", type=int, default=32,
+                   help="GMRES restart length m (default 32); the "
+                        "Krylov basis costs m x rows values in HBM")
     p.add_argument("--precondition",
                    choices=("none", "jacobi", "ic0", "ic0-sweeps",
                             "ilu0", "ilu0-sweeps"),
@@ -276,7 +284,45 @@ def _solve_cg(args, out) -> None:
     from spmv_tpu.models.device import DeviceDia
 
     factor_info = None
-    if args.precondition.startswith(("ic0", "ilu0")):
+    chebyshev_bounds = None
+    if args.solver == "gmres":
+        from spmv_tpu.ops.krylov import gmres
+
+        minv = None
+        if args.precondition.startswith(("ic0", "ilu0")):
+            minv, factor_info = _incomplete_preconditioner(
+                args, kernel, m)
+        elif args.precondition == "jacobi":
+            diag = jnp.asarray(extract_diagonal(m),
+                               dtype=default_value_dtype())
+            minv = jacobi_preconditioner(diag)
+
+        @jax.jit
+        def solve(b):
+            return gmres(
+                lambda v: spmv(A, v), b, preconditioner=minv,
+                tol=args.cg_tol, restart=args.restart,
+                max_iterations=args.cg,
+            )
+    elif args.solver == "chebyshev":
+        from spmv_tpu.ops.krylov import chebyshev, lanczos_bounds
+
+        if args.precondition != "none":
+            raise SpmvError(
+                "--solver chebyshev does not take a preconditioner "
+                "(its spectral bounds already play that role)")
+        lo, hi = lanczos_bounds(
+            jax.jit(lambda v: spmv(A, v)), m.num_rows,
+            dtype=default_value_dtype())
+        chebyshev_bounds = {"lambda_min": lo, "lambda_max": hi}
+
+        @jax.jit
+        def solve(b):
+            return chebyshev(
+                lambda v: spmv(A, v), b, lo, hi,
+                tol=args.cg_tol, max_iterations=args.cg,
+            )
+    elif args.precondition.startswith(("ic0", "ilu0")):
         minv, factor_info = _incomplete_preconditioner(args, kernel, m)
         if args.solver == "bicgstab":
             from spmv_tpu.ops.solvers import bicgstab
@@ -373,6 +419,10 @@ def _solve_cg(args, out) -> None:
     }
     if factor_info is not None:
         doc["cg"]["factorization"] = factor_info
+    if args.solver == "gmres":
+        doc["cg"]["restart"] = args.restart
+    if chebyshev_bounds is not None:
+        doc["cg"]["spectral_bounds"] = chebyshev_bounds
     dump_json(doc, out)
 
 

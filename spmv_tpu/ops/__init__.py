@@ -19,6 +19,7 @@ from spmv_tpu.ops.incomplete import (
     ilu0_preconditioner,
     tri_solve_sweeps,
 )
+from spmv_tpu.ops.krylov import chebyshev, gmres, lanczos_bounds
 from spmv_tpu.ops.pallas_kernels import dia_spmv, dia_spmv_padded, well_spmv, well_spmv_padded
 from spmv_tpu.ops.traffic import (
     spmv_irregular_traffic,
@@ -37,4 +38,5 @@ __all__ = [
     "bicgstab", "ic0_factor", "ilu0_factor", "ic0_preconditioner",
     "ilu0_preconditioner", "DeviceTriSolve", "build_level_schedule",
     "tri_solve_sweeps",
+    "gmres", "chebyshev", "lanczos_bounds",
 ]
