@@ -20,6 +20,7 @@ from spmv_tpu.ops.incomplete import (
     tri_solve_sweeps,
 )
 from spmv_tpu.ops.krylov import chebyshev, gmres, lanczos_bounds
+from spmv_tpu.ops.refine import RefineResult, iterative_refinement
 from spmv_tpu.ops.pallas_kernels import dia_spmv, dia_spmv_padded, well_spmv, well_spmv_padded
 from spmv_tpu.ops.traffic import (
     spmv_irregular_traffic,
@@ -39,4 +40,5 @@ __all__ = [
     "ilu0_preconditioner", "DeviceTriSolve", "build_level_schedule",
     "tri_solve_sweeps",
     "gmres", "chebyshev", "lanczos_bounds",
+    "iterative_refinement", "RefineResult",
 ]
