@@ -88,13 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "Krylov basis costs m x rows values in HBM")
     p.add_argument("--precondition",
                    choices=("none", "jacobi", "ic0", "ic0-sweeps",
-                            "ilu0", "ilu0-sweeps"),
+                            "ilu0", "ilu0-sweeps", "amg"),
                    default="none",
                    help="preconditioner for --cg (jacobi = diagonal "
                         "scaling; ic0/ilu0 = incomplete factorization "
                         "with level-scheduled triangular solves; the "
                         "-sweeps variants substitute the fixed-count "
-                        "Jacobi-iteration approximate solve)")
+                        "Jacobi-iteration approximate solve; amg = "
+                        "smoothed-aggregation multigrid V-cycle with "
+                        "Chebyshev smoothing)")
     p.add_argument("--spmm", type=int, metavar="K", default=0,
                    help="with --profile: time the multi-vector product "
                         "A @ X for an (n, K) block X instead of SpMV")
@@ -292,6 +294,8 @@ def _solve_cg(args, out) -> None:
         if args.precondition.startswith(("ic0", "ilu0")):
             minv, factor_info = _incomplete_preconditioner(
                 args, kernel, m)
+        elif args.precondition == "amg":
+            minv, factor_info = _amg_preconditioner_cli(kernel, m)
         elif args.precondition == "jacobi":
             diag = jnp.asarray(extract_diagonal(m),
                                dtype=default_value_dtype())
@@ -322,6 +326,24 @@ def _solve_cg(args, out) -> None:
                 lambda v: spmv(A, v), b, lo, hi,
                 tol=args.cg_tol, max_iterations=args.cg,
             )
+    elif args.precondition == "amg":
+        minv, factor_info = _amg_preconditioner_cli(kernel, m)
+        if args.solver == "bicgstab":
+            from spmv_tpu.ops.solvers import bicgstab
+
+            @jax.jit
+            def solve(b):
+                return bicgstab(
+                    lambda v: spmv(A, v), b, preconditioner=minv,
+                    tol=args.cg_tol, max_iterations=args.cg,
+                )
+        else:
+            @jax.jit
+            def solve(b):
+                return preconditioned_conjugate_gradient(
+                    lambda v: spmv(A, v), b, minv,
+                    tol=args.cg_tol, max_iterations=args.cg,
+                )
     elif args.precondition.startswith(("ic0", "ilu0")):
         minv, factor_info = _incomplete_preconditioner(args, kernel, m)
         if args.solver == "bicgstab":
@@ -424,6 +446,27 @@ def _solve_cg(args, out) -> None:
     if chebyshev_bounds is not None:
         doc["cg"]["spectral_bounds"] = chebyshev_bounds
     dump_json(doc, out)
+
+
+def _amg_preconditioner_cli(kernel, m):
+    """Build the SA-AMG V-cycle apply for --precondition amg.
+
+    Prefers the kernel's unpadded MatrixMarket view (padded CSR rows
+    carry explicit zeros that would bloat the Galerkin products);
+    falls back to the device format's host matrix, which ops.amg can
+    ingest directly (CSR, DIA, or MatrixMarket accessors).
+    """
+    from spmv_tpu.models.csr import CsrMatrix
+    from spmv_tpu.ops.amg import amg_preconditioner
+
+    mm = getattr(kernel, "_mm", None)
+    if isinstance(m, CsrMatrix) and int(m.row_ptr[-1]) == m.num_entries:
+        host = m
+    elif mm is not None:
+        host = mm
+    else:
+        host = m
+    return amg_preconditioner(host)
 
 
 def _incomplete_preconditioner(args, kernel, m):

@@ -19,6 +19,11 @@ from spmv_tpu.ops.incomplete import (
     ilu0_preconditioner,
     tri_solve_sweeps,
 )
+from spmv_tpu.ops.amg import (
+    AmgHierarchy,
+    amg_preconditioner,
+    smoothed_aggregation_setup,
+)
 from spmv_tpu.ops.krylov import chebyshev, gmres, lanczos_bounds
 from spmv_tpu.ops.refine import RefineResult, iterative_refinement
 from spmv_tpu.ops.pallas_kernels import dia_spmv, dia_spmv_padded, well_spmv, well_spmv_padded
@@ -41,4 +46,6 @@ __all__ = [
     "tri_solve_sweeps",
     "gmres", "chebyshev", "lanczos_bounds",
     "iterative_refinement", "RefineResult",
+    "amg_preconditioner", "smoothed_aggregation_setup",
+    "AmgHierarchy",
 ]

@@ -1,0 +1,453 @@
+"""Algebraic multigrid (smoothed aggregation) preconditioning.
+
+The reference's answer to locality at scale is *reorder + partition*
+(SURVEY.md §5); its solve cost is whatever CG needs.  At
+bandwidth-bound sizes CG on a Laplacian needs O(sqrt(kappa)) ~
+thousands of SpMVs (measured: 1256 iterations at 262k rows, probes
+52/52b), and IC(0) only halves that.  AMG is the O(1)-iteration
+answer, and smoothed aggregation (Vanek/Mandel/Brezina 1996) is the
+variant whose *apply* is purely SpMV-shaped — exactly what this
+framework is fast at:
+
+- **Setup (host, numpy)**: strength graph -> greedy aggregation ->
+  tentative prolongator -> Jacobi-smoothed P -> Galerkin triple
+  product P^T A P, recursed until the coarse grid is dense-solvable.
+  All sparse matrix products run through a vectorized numpy SpGEMM
+  (no scipy); the sequential aggregation loop follows the same
+  native-with-Python-fallback pattern as csrc/ic0.cpp.
+- **Apply (device, jitted)**: a V-cycle whose smoother is a
+  fixed-degree Chebyshev polynomial in D^-1 A — matvecs and axpys
+  only, no inner products, no scatters (the failure mode
+  probes 51/51b measured for triangular solves).  Restriction and
+  prolongation are rectangular DeviceCsr SpMVs.  The coarsest level
+  is a precomputed dense inverse (one small matmul).
+
+Identical pre/post smoothing makes the V-cycle a symmetric operator,
+so it drops into :func:`preconditioned_conjugate_gradient`; in f32 it
+composes with :func:`~spmv_tpu.ops.refine.iterative_refinement` for
+fp64-accurate solves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "amg_preconditioner",
+    "smoothed_aggregation_setup",
+    "AmgHierarchy",
+    "AmgLevel",
+]
+
+
+# ---------------------------------------------------------------------
+# host-side sparse helpers (CSR as plain (row_ptr, cols, vals) arrays)
+# ---------------------------------------------------------------------
+
+def _csr_from_coo(n_rows, rows, cols, vals):
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    rp = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n_rows), out=rp[1:])
+    return rp, cols.astype(np.int32), vals
+
+
+def _coo_dedupe(n_rows, n_cols, rows, cols, vals):
+    """Sum duplicate (row, col) entries; returns sorted COO."""
+    key = rows.astype(np.int64) * n_cols + cols
+    uniq, inv = np.unique(key, return_inverse=True)
+    out_vals = np.bincount(inv, weights=vals, minlength=uniq.size)
+    out_rows = (uniq // n_cols).astype(np.int64)
+    out_cols = (uniq % n_cols).astype(np.int64)
+    return out_rows, out_cols, out_vals
+
+
+def _spgemm(n_rows, ar, ac, av, br, bc, bv, n_cols_out):
+    """C = A @ B for host CSR triples, fully vectorized.
+
+    Expands every A entry (i, j) against B's row j (the classic
+    expand/sort/compress formulation), then compresses duplicates
+    with one sort — no per-row Python loop, so Galerkin products at
+    16M rows stay in numpy's C loops.
+    """
+    deg = (br[ac + 1] - br[ac]).astype(np.int64)
+    total = int(deg.sum())
+    if total == 0:
+        return (np.zeros(n_rows + 1, np.int64),
+                np.zeros(0, np.int32), np.zeros(0, np.float64))
+    cum = np.cumsum(deg) - deg
+    offs = np.repeat(cum, deg)
+    seq = np.arange(total, dtype=np.int64) - offs
+    bidx = np.repeat(br[ac], deg) + seq
+    arow = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(ar))
+    rows = np.repeat(arow, deg)
+    cols = bc[bidx].astype(np.int64)
+    vals = np.repeat(av, deg) * bv[bidx]
+    rows, cols, vals = _coo_dedupe(n_rows, n_cols_out, rows, cols,
+                                   vals)
+    return _csr_from_coo(n_rows, rows, cols, vals)
+
+
+def _transpose(n_rows, n_cols, rp, cols, vals):
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(rp))
+    return _csr_from_coo(n_cols, cols.astype(np.int64), rows, vals)
+
+
+def _host_spmv(rp, cols, vals, x):
+    prod = vals * x[cols]
+    out = np.zeros(len(rp) - 1, x.dtype)
+    np.add.at(out, np.repeat(np.arange(len(rp) - 1), np.diff(rp)),
+              prod)
+    return out
+
+
+def _host_spmv_fast(rp, cols, vals, x):
+    # segment sum via cumsum trick: much faster than np.add.at
+    prod = np.concatenate(([0.0], np.cumsum(vals * x[cols])))
+    return prod[rp[1:]] - prod[rp[:-1]]
+
+
+def _extract_diag(n, rp, cols, vals):
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    d = np.zeros(n, np.float64)
+    sel = rows == cols
+    np.add.at(d, rows[sel], vals[sel])
+    return d
+
+
+def _strength_graph(n, rp, cols, vals, theta):
+    """Symmetric strength-of-connection filter: keep off-diagonal
+    (i, j) with |a_ij| >= theta * sqrt(|a_ii a_jj|)."""
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    d = np.abs(_extract_diag(n, rp, cols, vals))
+    offdiag = rows != cols
+    strong = offdiag & (
+        np.abs(vals) >= theta * np.sqrt(d[rows] * d[cols]))
+    return _csr_from_coo(n, rows[strong],
+                         cols[strong].astype(np.int64), vals[strong])
+
+
+def _aggregate_py(n, rp, cols):
+    """Greedy aggregation over the strength graph (Vanek et al. 96).
+
+    Pass 1 makes an aggregate of every node whose strong neighborhood
+    is untouched; pass 2 attaches leftovers to an adjacent aggregate;
+    pass 3 groups whatever remains (isolated from all aggregates)
+    with its unassigned neighbors.  Pure-Python reference; the native
+    twin (csrc/amg.cpp) mirrors it statement-for-statement.
+    """
+    agg = np.full(n, -1, np.int64)
+    cnt = 0
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nb = cols[rp[i]:rp[i + 1]]
+        if (agg[nb] == -1).all():
+            agg[i] = cnt
+            agg[nb] = cnt
+            cnt += 1
+    attach = agg.copy()
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nb = cols[rp[i]:rp[i + 1]]
+        hit = nb[agg[nb] != -1]
+        if hit.size:
+            attach[i] = agg[hit[0]]
+    agg = attach
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        agg[i] = cnt
+        nb = cols[rp[i]:rp[i + 1]]
+        agg[nb[agg[nb] == -1]] = cnt
+        cnt += 1
+    return agg, cnt
+
+
+def _aggregate(n, rp, cols):
+    from spmv_tpu.ops import _amg_native
+
+    if _amg_native.available() and n > 4096:
+        return _amg_native.aggregate(rp, cols)
+    return _aggregate_py(n, rp, cols)
+
+
+def _lambda_max_dinv_a(n, rp, cols, vals, dinv, iters=15, seed=0):
+    """Power iteration for lambda_max(D^-1 A) on the host."""
+    v = np.random.default_rng(seed).standard_normal(n)
+    lam = 1.0
+    for _ in range(iters):
+        w = dinv * _host_spmv_fast(rp, cols, vals, v)
+        nw = np.linalg.norm(w)
+        if nw == 0:
+            return 1.0
+        lam = nw / max(np.linalg.norm(v), 1e-300)
+        v = w / nw
+    return float(lam)
+
+
+# ---------------------------------------------------------------------
+# hierarchy
+# ---------------------------------------------------------------------
+
+class AmgLevel(NamedTuple):
+    """One level's host arrays: A (n x n), P (n x nc), Pt (nc x n)."""
+    n: int
+    a: tuple                # (row_ptr, cols, vals)
+    p: tuple                # (row_ptr, cols, vals) or None at coarsest
+    pt: tuple
+    n_coarse: int
+    dinv: np.ndarray
+    lambda_max: float       # of D^-1 A, for the Chebyshev smoother
+
+
+@dataclasses.dataclass
+class AmgHierarchy:
+    levels: list            # of AmgLevel (finest first)
+    coarse_inv: np.ndarray  # dense inverse of the coarsest operator
+    theta: float
+    omega: float
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels) + 1
+
+    @property
+    def operator_complexity(self) -> float:
+        """sum(nnz over levels) / nnz(finest) — the standard AMG
+        grid-quality metric (should stay < ~1.6 for SA; the dense
+        coarse solve counts n^2, so tiny problems read high)."""
+        if not self.levels:
+            return 1.0   # pure dense solve, no multigrid levels
+        fine = len(self.levels[0].a[2])
+        tot = sum(len(lv.a[2]) for lv in self.levels)
+        tot += self.coarse_inv.shape[0] ** 2
+        return tot / max(fine, 1)
+
+
+def _as_host_csr(m):
+    """(row_ptr, cols, vals) fp64 view of any host matrix exposing
+    CSR arrays, a DIA layout, or MatrixMarket-style accessors."""
+    if hasattr(m, "row_ptr"):
+        rp = np.asarray(m.row_ptr, np.int64)
+        stored = int(rp[-1])
+        return (rp, np.asarray(m.column_index[:stored], np.int32),
+                np.asarray(m.value[:stored], np.float64))
+    if hasattr(m, "offsets") and hasattr(m, "data"):
+        n, nc = m.num_rows, m.num_columns
+        offs = np.asarray(m.offsets, np.int64)
+        data = np.asarray(m.data, np.float64)
+        rows_l, cols_l, vals_l = [], [], []
+        for k, off in enumerate(offs):
+            i = np.arange(max(0, -off), min(n, nc - off),
+                          dtype=np.int64)
+            rows_l.append(i)
+            cols_l.append(i + off)
+            vals_l.append(data[k, i])
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        vals = np.concatenate(vals_l)
+        keep = vals != 0.0
+        return _csr_from_coo(n, rows[keep], cols[keep], vals[keep])
+    if hasattr(m, "row_indices"):
+        # 1-based MatrixMarket accessors (matrix-market.cpp:171)
+        rows = np.asarray(m.row_indices(), np.int64) - 1
+        cols = np.asarray(m.column_indices(), np.int64) - 1
+        vals = np.asarray(m.values_real(), np.float64)
+        r, c, v = _coo_dedupe(m.num_rows, m.num_columns, rows, cols,
+                              vals)
+        return _csr_from_coo(m.num_rows, r, c, v)
+    raise TypeError(f"unsupported host matrix type: {type(m)!r}")
+
+
+def smoothed_aggregation_setup(
+    m,
+    theta: float = 0.08,
+    omega_scale: float = 4.0 / 3.0,
+    max_levels: int = 12,
+    coarse_size: int = 512,
+    smooth_prolongator: bool = True,
+) -> AmgHierarchy:
+    """Build the SA-AMG hierarchy on the host.
+
+    ``m`` is any square host matrix (CsrMatrix, DiaMatrix,
+    MatrixMarket).  ``theta`` is the strength threshold; ``omega_scale
+    / lambda_max(D^-1 A)`` is the prolongator-smoothing weight
+    (omega_scale=4/3 is the SA-classic optimum for one Jacobi step).
+    Coarsening stops at ``coarse_size`` rows (dense-inverted) or when
+    aggregation stalls.
+    """
+    if m.num_rows != m.num_columns:
+        raise ValueError("AMG requires a square matrix")
+    rp, cols, vals = _as_host_csr(m)
+    n = m.num_rows
+    levels = []
+    omega_used = 0.0
+    for _ in range(max_levels):
+        if n <= coarse_size:
+            break
+        srp, scols, _svals = _strength_graph(n, rp, cols, vals, theta)
+        agg, n_agg = _aggregate(n, srp, scols)
+        if n_agg >= n:
+            break   # aggregation stalled: stop coarsening here
+        dinv_d = _extract_diag(n, rp, cols, vals)
+        dinv = np.where(dinv_d != 0.0, 1.0 / np.where(
+            dinv_d != 0.0, dinv_d, 1.0), 1.0)
+        lam = _lambda_max_dinv_a(n, rp, cols, vals, dinv)
+
+        # tentative prolongator: one entry per row, column = aggregate,
+        # normalized so P0's columns are unit vectors
+        sizes = np.bincount(agg, minlength=n_agg).astype(np.float64)
+        p0_rp = np.arange(n + 1, dtype=np.int64)
+        p0_cols = agg.astype(np.int32)
+        p0_vals = 1.0 / np.sqrt(sizes[agg])
+
+        if smooth_prolongator:
+            # P = (I - omega D^-1 A) P0
+            omega_used = omega_scale / max(lam, 1e-300)
+            ap_rp, ap_cols, ap_vals = _spgemm(
+                n, rp, cols, vals, p0_rp, p0_cols, p0_vals, n_agg)
+            ap_rows = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(ap_rp))
+            rows_cat = np.concatenate([
+                np.arange(n, dtype=np.int64), ap_rows])
+            cols_cat = np.concatenate([
+                p0_cols.astype(np.int64), ap_cols.astype(np.int64)])
+            vals_cat = np.concatenate([
+                p0_vals, -omega_used * dinv[ap_rows] * ap_vals])
+            prow, pcol, pval = _coo_dedupe(
+                n, n_agg, rows_cat, cols_cat, vals_cat)
+            keep = pval != 0.0
+            p_rp, p_cols, p_vals = _csr_from_coo(
+                n, prow[keep], pcol[keep], pval[keep])
+        else:
+            p_rp, p_cols, p_vals = p0_rp, p0_cols, p0_vals
+
+        pt_rp, pt_cols, pt_vals = _transpose(n, n_agg, p_rp, p_cols,
+                                             p_vals)
+        # Galerkin: Ac = Pt (A P)
+        ap = _spgemm(n, rp, cols, vals, p_rp, p_cols, p_vals, n_agg)
+        ac_rp, ac_cols, ac_vals = _spgemm(
+            n_agg, pt_rp, pt_cols, pt_vals, *ap, n_agg)
+
+        levels.append(AmgLevel(
+            n=n, a=(rp, cols, vals), p=(p_rp, p_cols, p_vals),
+            pt=(pt_rp, pt_cols, pt_vals), n_coarse=n_agg,
+            dinv=dinv, lambda_max=lam))
+        rp, cols, vals = ac_rp, ac_cols, ac_vals
+        n = n_agg
+
+    # coarsest: dense inverse
+    dense = np.zeros((n, n))
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    dense[rows, cols] = vals
+    coarse_inv = np.linalg.inv(dense)
+    if not levels:
+        # matrix was already coarse enough: a pure dense solve
+        pass
+    return AmgHierarchy(levels=levels, coarse_inv=coarse_inv,
+                        theta=theta, omega=omega_used)
+
+
+# ---------------------------------------------------------------------
+# device apply
+# ---------------------------------------------------------------------
+
+def _device_csr(n_rows, n_cols, rp, cols, vals, dtype):
+    from spmv_tpu.models.csr import CsrMatrix
+    from spmv_tpu.models.device import DeviceCsr
+
+    host = CsrMatrix(n_rows, n_cols, len(vals), 1, rp, cols, vals)
+    return DeviceCsr.from_host(host, dtype=dtype)
+
+
+def _cheb_smooth(matvec, dinv, b, x, lo, hi, degree):
+    """Fixed-degree Chebyshev smoother on D^-1 A (see ops/krylov.py's
+    chebyshev() for the solver variant; here the degree is static and
+    unrolled — no convergence checks, no inner products)."""
+    theta = (hi + lo) / 2.0
+    delta = (hi - lo) / 2.0
+    sigma1 = theta / delta
+    r = dinv * (b - matvec(x))
+    p = r / theta
+    rho = 1.0 / sigma1
+    for _ in range(degree):
+        x = x + p
+        r = r - dinv * matvec(p)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        p = rho_new * rho * p + (2.0 * rho_new / delta) * r
+        rho = rho_new
+    return x
+
+
+def amg_preconditioner(
+    m=None,
+    hierarchy: AmgHierarchy = None,
+    dtype=None,
+    smoother_degree: int = 3,
+    smoother_band=(1.0 / 30.0, 1.1),
+    **setup_kw,
+):
+    """Build ``M^-1 r`` = one SA-AMG V-cycle, as a jittable closure.
+
+    Give either a host matrix ``m`` (runs
+    :func:`smoothed_aggregation_setup` with ``**setup_kw``) or a
+    prebuilt ``hierarchy``.  Returns ``(apply, info)`` like
+    :func:`~spmv_tpu.ops.incomplete.ic0_preconditioner`, so it plugs
+    into PCG/GMRES/BiCGSTAB unchanged.
+
+    The smoother is a degree-``smoother_degree`` Chebyshev polynomial
+    in D^-1 A targeting ``[band_lo * lam, band_hi * lam]`` (the
+    PyAMG-standard (1/30, 1.1) band); identical pre/post smoothing
+    keeps the cycle symmetric for CG.
+    """
+    if hierarchy is None:
+        if m is None:
+            raise ValueError("need a host matrix or a hierarchy")
+        hierarchy = smoothed_aggregation_setup(m, **setup_kw)
+    from spmv_tpu.models.device import default_value_dtype
+    from spmv_tpu.ops.spmv import spmv
+
+    dtype = dtype or default_value_dtype()
+    dev = []
+    for lv in hierarchy.levels:
+        a = _device_csr(lv.n, lv.n, *lv.a, dtype)
+        p = _device_csr(lv.n, lv.n_coarse, *lv.p, dtype)
+        pt = _device_csr(lv.n_coarse, lv.n, *lv.pt, dtype)
+        lo = float(smoother_band[0] * lv.lambda_max)
+        hi = float(smoother_band[1] * lv.lambda_max)
+        dev.append((a, p, pt, jnp.asarray(lv.dinv, dtype), lo, hi))
+    coarse_inv = jnp.asarray(hierarchy.coarse_inv, dtype)
+
+    def vcycle(level, b):
+        if level == len(dev):
+            return coarse_inv @ b
+        a, p, pt, dinv, lo, hi = dev[level]
+        x = _cheb_smooth(lambda v: spmv(a, v), dinv, b,
+                         jnp.zeros_like(b), lo, hi, smoother_degree)
+        r = b - spmv(a, x)
+        xc = vcycle(level + 1, spmv(pt, r))
+        x = x + spmv(p, xc)
+        return _cheb_smooth(lambda v: spmv(a, v), dinv, b, x, lo, hi,
+                            smoother_degree)
+
+    def apply(r):
+        return vcycle(0, r)
+
+    info = {
+        "kind": "sa-amg",
+        "levels": hierarchy.num_levels,
+        "level_rows": [lv.n for lv in hierarchy.levels]
+        + [hierarchy.coarse_inv.shape[0]],
+        "operator_complexity": hierarchy.operator_complexity,
+        "theta": hierarchy.theta,
+        "omega": hierarchy.omega,
+        "smoother": f"chebyshev(degree={smoother_degree})",
+    }
+    return apply, info
