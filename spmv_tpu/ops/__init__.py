@@ -22,6 +22,9 @@ from spmv_tpu.ops.incomplete import (
 from spmv_tpu.ops.amg import (
     AmgHierarchy,
     amg_preconditioner,
+    amg_solve,
+    block_aggregation_setup,
+    block_amg_preconditioner,
     smoothed_aggregation_setup,
 )
 from spmv_tpu.ops.krylov import chebyshev, gmres, lanczos_bounds
@@ -48,4 +51,6 @@ __all__ = [
     "iterative_refinement", "RefineResult",
     "amg_preconditioner", "smoothed_aggregation_setup",
     "AmgHierarchy",
+    "amg_solve", "block_aggregation_setup",
+    "block_amg_preconditioner",
 ]

@@ -224,3 +224,121 @@ def test_cli_amg(tmp_path, capsys):
     assert doc["cg"]["factorization"]["levels"] >= 2
     assert doc["cg"]["iterations"] < 30
     assert doc["cg"]["solution_rms_error_vs_ones"] < 1e-5
+
+
+# ------------------------------------------------------ block layout
+
+
+def test_block_setup_pads_and_coarsens():
+    from spmv_tpu.ops import block_aggregation_setup
+
+    mm = poisson2d(13, 11)   # 143 rows, not a multiple of 4
+    m = CsrMatrix.from_matrix_market(mm)
+    hier = block_aggregation_setup(m, block=4, coarse_size=20)
+    lv = hier.levels[0]
+    assert lv.n == 143 and lv.n_pad == 144 and lv.n_coarse == 36
+    # padded rows are identity at the mean |diag|
+    rp, cols, vals = lv.a
+    assert rp[-1] - rp[143] == 1 and cols[-1] == 143
+    # every level's padded size is block * next size
+    for lv in hier.levels:
+        assert lv.n_pad == lv.n_coarse * lv.block
+
+
+def test_block_galerkin_matches_explicit_composition():
+    # the device applies P as (I - w D^-1 A) P0 by composition; the
+    # host Galerkin uses the explicit P — check they are the same
+    # operator by comparing P@xc both ways on the finest level
+    from spmv_tpu.ops.amg import (
+        _host_spmv_fast,
+        block_aggregation_setup,
+    )
+
+    mm = poisson2d(8, 8)
+    m = CsrMatrix.from_matrix_market(mm)
+    hier = block_aggregation_setup(m, block=4, coarse_size=4)
+    lv = hier.levels[0]
+    rng = np.random.default_rng(0)
+    xc = rng.standard_normal(lv.n_coarse)
+    w = 1.0 / np.sqrt(lv.block)
+    y0 = np.repeat(xc, lv.block) * w
+    rp, cols, vals = lv.a
+    composed = y0 - lv.omega * lv.dinv * _host_spmv_fast(
+        rp, cols, vals, y0)
+    # explicit P from a fresh setup of the same level (recompute)
+    from spmv_tpu.ops.amg import _coo_dedupe, _csr_from_coo, _spgemm
+
+    n_pad = lv.n_pad
+    p0_rp = np.arange(n_pad + 1, dtype=np.int64)
+    p0_cols = (np.arange(n_pad) // lv.block).astype(np.int32)
+    p0_vals = np.full(n_pad, w)
+    ap = _spgemm(n_pad, rp, cols, vals, p0_rp, p0_cols, p0_vals,
+                 lv.n_coarse)
+    ap_rows = np.repeat(np.arange(n_pad), np.diff(ap[0]))
+    rows_cat = np.concatenate([np.arange(n_pad), ap_rows])
+    cols_cat = np.concatenate([p0_cols.astype(np.int64),
+                               ap[1].astype(np.int64)])
+    vals_cat = np.concatenate([p0_vals,
+                               -lv.omega * lv.dinv[ap_rows] * ap[2]])
+    pr, pc, pv = _coo_dedupe(n_pad, lv.n_coarse, rows_cat, cols_cat,
+                             vals_cat)
+    prp, pcols, pvals = _csr_from_coo(n_pad, pr, pc, pv)
+    explicit = _host_spmv_fast(prp, pcols, pvals, xc)
+    np.testing.assert_allclose(composed, explicit, atol=1e-13)
+
+
+def test_block_amg_solve_matches_truth():
+    from spmv_tpu.ops import amg_solve
+
+    mm = poisson2d(65, 63)   # odd sizes force padding at every level
+    m = CsrMatrix.from_matrix_market(mm)
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(m.num_rows)
+    b = m.spmv(x_true)
+    res, info = amg_solve(m, b, tol=1e-10, max_iterations=500,
+                          coarse_size=100)
+    assert info["kind"] == "sa-amg-block"
+    assert all(f == "DeviceDia" for f in info["level_formats"])
+    assert int(res.iterations) < 40
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_block_closure_matches_solver_path():
+    from spmv_tpu.ops import (
+        block_amg_preconditioner,
+        preconditioned_conjugate_gradient,
+    )
+
+    mm = poisson2d(24, 24)
+    m = CsrMatrix.from_matrix_market(mm)
+    A = DeviceCsr.from_host(m)
+    rng = np.random.default_rng(2)
+    x_true = rng.standard_normal(m.num_rows)
+    b = jnp.asarray(m.spmv(x_true))
+    apply_m, info = block_amg_preconditioner(m, coarse_size=64)
+    res = preconditioned_conjugate_gradient(
+        lambda v: spmv(A, v), b, apply_m, tol=1e-10,
+        max_iterations=500)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_block_amg_dia_input_and_refinement():
+    from spmv_tpu.models import DiaMatrix
+    from spmv_tpu.ops import amg_solve, block_aggregation_setup
+
+    mm = poisson2d(32, 32)
+    dia = DiaMatrix.from_matrix_market(mm)
+    rng = np.random.default_rng(3)
+    x_true = rng.standard_normal(dia.num_rows)
+    b = dia.spmv(x_true)
+    hier = block_aggregation_setup(dia, coarse_size=64)
+
+    def inner(r):
+        res, _ = amg_solve(dia, r, tol=1e-5, max_iterations=100,
+                           dtype=jnp.float32, hierarchy=hier)
+        return res
+    res = iterative_refinement(dia, b, inner, tol=1e-12)
+    assert res.residual_norm <= 1e-12 * np.linalg.norm(b)
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-9, atol=1e-11)
