@@ -18,9 +18,28 @@ framework is fast at:
 - **Apply (device, jitted)**: a V-cycle whose smoother is a
   fixed-degree Chebyshev polynomial in D^-1 A — matvecs and axpys
   only, no inner products, no scatters (the failure mode
-  probes 51/51b measured for triangular solves).  Restriction and
-  prolongation are rectangular DeviceCsr SpMVs.  The coarsest level
+  probes 51/51b measured for triangular solves).  The coarsest level
   is a precomputed dense inverse (one small matmul).
+
+Two layouts (probes 53/53b/53c record the measured trade-offs):
+
+- the **generic** layout (:func:`amg_preconditioner`) keeps greedy
+  strength-based aggregates; its transfers are rectangular DeviceCsr
+  SpMVs, which are gather-bound on TPU — use it off-TPU or for
+  irregular problems where aggregate quality matters most;
+- the **block** layout (:func:`block_amg_preconditioner`,
+  :func:`amg_solve`) aggregates fixed runs of consecutive rows so the
+  transfers are pure reshapes, keeps every level in DIA, and passes
+  the hierarchy through jit as a pytree ARGUMENT (a closure-captured
+  hierarchy ships as HLO constants and breaks remote compilation at
+  4M rows).  Pair it with ``__RCM`` reordering for matrices whose
+  index order is not already locality-sorted.
+
+The honest verdict from the probes: on this chip plain resident-DIA
+CG beats every preconditioner on the isotropic Laplacian below the
+residency cliff (25 us/iteration leaves nothing to amortize against).
+AMG earns its keep on conditioning that defeats CG, and as the f32
+inner solver under iterative refinement.
 
 Identical pre/post smoothing makes the V-cycle a symmetric operator,
 so it drops into :func:`preconditioned_conjugate_gradient`; in f32 it
