@@ -846,9 +846,45 @@ def _bsr_spmm_kernel(bcol_ref, brow_ref, *refs, kb, dtype):
         y_ref[0] += acc
 
 
+def _bsr_spmm_wholex_kernel(bcol_ref, brow_ref, x_ref, blk_ref, y_ref,
+                            *, kb, dtype):
+    t = pl.program_id(0)
+    first = jnp.logical_or(
+        t == 0, brow_ref[t] != brow_ref[jnp.maximum(t - 1, 0)]
+    )
+    acc = jnp.dot(blk_ref[0], x_ref[bcol_ref[t * kb]],
+                  preferred_element_type=dtype)
+    for i in range(1, kb):
+        acc = acc + jnp.dot(blk_ref[i], x_ref[bcol_ref[t * kb + i]],
+                            preferred_element_type=dtype)
+
+    @pl.when(first)
+    def _():
+        y_ref[0] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        y_ref[0] += acc
+
+
+# X residency budget for the whole-X BSR path: X + double-buffered
+# block/Y tiles must fit the ~128 MB v5e VMEM with headroom.
+_BSR_WHOLEX_BYTES = 80 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
-    """Y = A @ X for DeviceBsr; X of shape (num_columns, k)."""
+    """Y = A @ X for DeviceBsr; X of shape (num_columns, k).
+
+    Two paths.  The pipelined path streams one (LANE, k) X tile per
+    block through a BlockSpec index map — which re-fetches X once per
+    BLOCK, doubling HBM traffic (measured: 1.58 ms vs a 0.65 ms
+    stream-only floor at 131k rows / 134M nnz / k=128, probe in
+    BENCH detail).  When X fits the VMEM budget it instead stays
+    RESIDENT whole (the WELL SpMM's whole-x mode) and the kernel
+    indexes its block-column tile dynamically, so only the blocks
+    stream from HBM.
+    """
     from spmv_tpu.models.device import DeviceBsr
 
     assert isinstance(A, DeviceBsr)
@@ -861,6 +897,41 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
 
     kb = A.blocks_per_step
     bh = A.block_rows
+    x_bytes = ncb * LANE * k * x3d.dtype.itemsize
+    if x_bytes <= _BSR_WHOLEX_BYTES:
+        kernel = functools.partial(
+            _bsr_spmm_wholex_kernel, kb=kb, dtype=A.blocks.dtype
+        )
+        y3d = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(A.num_blocks // kb,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (ncb, LANE, k),
+                        lambda t, bc, br: (0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (kb, bh, LANE),
+                        lambda t, bc, br: (t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, bh, k),
+                    lambda t, bc, br: (br[t], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (A.num_block_rows, bh, k), A.blocks.dtype
+            ),
+            interpret=interpret,
+        )(A.block_col, A.block_row, x3d, A.blocks)
+        return y3d.reshape(-1, k)[: A.num_rows]
+
     kernel = functools.partial(
         _bsr_spmm_kernel, kb=kb, dtype=A.blocks.dtype
     )
