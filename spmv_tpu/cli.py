@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "Jacobi-iteration approximate solve; amg = "
                         "smoothed-aggregation multigrid V-cycle with "
                         "Chebyshev smoothing)")
+    p.add_argument("--recompute-residual", type=int, metavar="K",
+                   default=0,
+                   help="with --cg and --solver cg: replace the "
+                        "recurrence residual with the true residual "
+                        "b - A x every K iterations (costs one extra "
+                        "SpMV per K); keeps the reported residual "
+                        "honest when the f32 recurrence drifts past "
+                        "the attainable accuracy")
     p.add_argument("--spmm", type=int, metavar="K", default=0,
                    help="with --profile: time the multi-vector product "
                         "A @ X for an (n, K) block X instead of SpMV")
@@ -278,6 +286,13 @@ def _solve_cg(args, out) -> None:
     m = kernel.matrix
     if m.num_rows != m.num_columns:
         raise SpmvError("--cg requires a square matrix")
+    if args.recompute_residual and args.solver != "cg":
+        raise SpmvError(
+            "--recompute-residual applies to --solver cg only "
+            "(bicgstab/gmres/chebyshev have their own residual "
+            "semantics)")
+    if args.recompute_residual < 0:
+        raise SpmvError("--recompute-residual must be >= 0")
 
     A = device_put_matrix(m)
     ones = jnp.ones((m.num_columns,), default_value_dtype())
@@ -343,6 +358,7 @@ def _solve_cg(args, out) -> None:
                 return preconditioned_conjugate_gradient(
                     lambda v: spmv(A, v), b, minv,
                     tol=args.cg_tol, max_iterations=args.cg,
+                    recompute_every=args.recompute_residual,
                 )
     elif args.precondition.startswith(("ic0", "ilu0")):
         minv, factor_info = _incomplete_preconditioner(args, kernel, m)
@@ -361,6 +377,7 @@ def _solve_cg(args, out) -> None:
                 return preconditioned_conjugate_gradient(
                     lambda v: spmv(A, v), b, minv,
                     tol=args.cg_tol, max_iterations=args.cg,
+                    recompute_every=args.recompute_residual,
                 )
     elif args.solver == "bicgstab":
         from spmv_tpu.ops.solvers import bicgstab
@@ -392,6 +409,7 @@ def _solve_cg(args, out) -> None:
             return dia_conjugate_gradient(
                 A, b, tol=args.cg_tol, max_iterations=args.cg,
                 interpret=interpret, jacobi_diag=diag,
+                recompute_every=args.recompute_residual,
             )
     elif args.precondition == "jacobi":
         diag = jnp.asarray(extract_diagonal(m),
@@ -403,6 +421,7 @@ def _solve_cg(args, out) -> None:
             return preconditioned_conjugate_gradient(
                 lambda v: spmv(A, v), b, minv,
                 tol=args.cg_tol, max_iterations=args.cg,
+                recompute_every=args.recompute_residual,
             )
     else:
         @jax.jit
@@ -410,6 +429,7 @@ def _solve_cg(args, out) -> None:
             return conjugate_gradient(
                 lambda v: spmv(A, v), b,
                 tol=args.cg_tol, max_iterations=args.cg,
+                recompute_every=args.recompute_residual,
             )
 
     res = solve(b)

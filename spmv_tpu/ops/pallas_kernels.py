@@ -895,12 +895,17 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
         xf, ((0, ncb * LANE - X.shape[0]), (0, 0))
     ).reshape(ncb, LANE, k)
 
+    # bf16 blocks run the MXU at its bf16 rate and halve the block
+    # stream, but partial sums must stay f32: the accumulator dtype is
+    # promoted, and Y comes back f32 (measured: see probe 54).
+    acc_dtype = (jnp.float32 if A.blocks.dtype == jnp.bfloat16
+                 else A.blocks.dtype)
     kb = A.blocks_per_step
     bh = A.block_rows
     x_bytes = ncb * LANE * k * x3d.dtype.itemsize
     if x_bytes <= _BSR_WHOLEX_BYTES:
         kernel = functools.partial(
-            _bsr_spmm_wholex_kernel, kb=kb, dtype=A.blocks.dtype
+            _bsr_spmm_wholex_kernel, kb=kb, dtype=acc_dtype
         )
         y3d = pl.pallas_call(
             kernel,
@@ -926,14 +931,14 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
                 ),
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (A.num_block_rows, bh, k), A.blocks.dtype
+                (A.num_block_rows, bh, k), acc_dtype
             ),
             interpret=interpret,
         )(A.block_col, A.block_row, x3d, A.blocks)
         return y3d.reshape(-1, k)[: A.num_rows]
 
     kernel = functools.partial(
-        _bsr_spmm_kernel, kb=kb, dtype=A.blocks.dtype
+        _bsr_spmm_kernel, kb=kb, dtype=acc_dtype
     )
     x_specs = [
         pl.BlockSpec(
@@ -962,7 +967,7 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (A.num_block_rows, bh, k), A.blocks.dtype
+            (A.num_block_rows, bh, k), acc_dtype
         ),
         interpret=interpret,
     )(A.block_col, A.block_row, *([x3d] * kb), A.blocks)

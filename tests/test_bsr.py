@@ -109,6 +109,25 @@ def test_pallas_interpret_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_bf16_blocks_accumulate_f32():
+    # bf16 halves the block stream and runs the MXU at its bf16 rate
+    # (probe 54); partial sums must still be f32 — the kernel promotes
+    # the accumulator and returns f32 Y.
+    mm = _block_structured(2, 3, 2, seed=8)
+    b = BsrMatrix.from_matrix_market(mm)
+    A = DeviceBsr.from_host(b, dtype=jnp.bfloat16)
+    X = np.random.default_rng(9).standard_normal(
+        (mm.num_columns, 4)
+    ).astype(np.float32)
+    Y = bsr_spmm(A, jnp.asarray(X), interpret=True)
+    assert Y.dtype == jnp.float32
+    want = b.spmm(X.astype(np.float64))
+    # inputs round to bf16 (~0.4% each), accumulation is exact f32
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(Y) / scale, want / scale,
+                               atol=3e-2)
+
+
 def test_pallas_interpret_fp64_and_poisson():
     mm = poisson2d(16, 16)   # 256 rows: 2 block rows
     b = BsrMatrix.from_matrix_market(mm)

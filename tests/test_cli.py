@@ -186,6 +186,22 @@ def test_cg_mode_guards(matrix_file):
     assert _run(["--triad", "100", "--cg", "10"])[0] == 1
 
 
+def test_cg_recompute_residual(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--cg", "200", "--cg-tol", "1e-10",
+         "--recompute-residual", "5"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["cg"]["residual_norm"] < 1e-6
+    assert doc["cg"]["solution_rms_error_vs_ones"] < 1e-5
+    # replacement is a CG-recurrence concept; other solvers refuse it
+    assert _run(["--matrix", matrix_file, "--cg", "10",
+                 "--solver", "chebyshev",
+                 "--recompute-residual", "5"])[0] == 1
+
+
 def test_auto_format_cli(matrix_file, config_file):
     rc, text = _run(
         ["--matrix", matrix_file, "--trace-config", config_file,
