@@ -12,6 +12,19 @@ Driver contract: print ONE JSON line
 where value is the achieved fraction of the memory-bandwidth roofline
 (BASELINE.json target: >= 0.80) and vs_baseline = value / 0.80.
 
+Fault isolation (round-4, after BENCH_r03 lost four working numbers to
+one new leg's compile error): every leg beyond the headline runs in
+its own try/except; a failing leg contributes "<leg>_error" to the
+detail instead of killing the artifact.  The WELL-CW floor stays a
+FAILING gate (VERDICT r2 item 2) — but only when its leg actually ran;
+a crash there reports the error rather than silently passing.
+
+Preflight: `python bench.py --compile-only` AOT-compiles every leg's
+kernel at the exact driver shapes (jit(...).lower(args).compile())
+without timing anything, so a scoped-VMEM or lowering regression is
+caught by a test/CI run before the driver does.  Exit code is
+non-zero if any leg fails to compile.
+
 Methodology (probes 30-33 in experiments/RESULTS.md):
 
 - Timing is the slope between two LONG chained-iteration programs.
@@ -37,6 +50,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+import traceback
 
 # In-place (aliased x/y, probe 24/25) prefers 256-row tiles for SpMV;
 # SpMM prefers 512 (bigger DMAs against its fatter window).  bf16
@@ -62,40 +76,79 @@ CHECKSUM_RTOL = 1e-4
 WELLCW_FLOOR = 0.38
 
 
-def main() -> None:
+def main() -> int:
+    compile_only = "--compile-only" in sys.argv[1:]
+    if compile_only:
+        return _preflight()
     # The tunneled chip occasionally wedges and self-heals in a few
     # minutes; one retry keeps the round's benchmark from recording a
-    # transient failure.
+    # transient failure.  If the headline leg fails twice, emit a
+    # zero-value artifact (valid JSON with the error) instead of a
+    # bare traceback, so the round still records *something*.
     try:
         _run()
     except Exception as e:  # noqa: BLE001 — report, wait, retry once
         print(f"bench: first attempt failed ({e!r}); retrying in 180s",
               file=sys.stderr)
         time.sleep(180)
-        _run()
+        try:
+            _run()
+        except Exception as e2:  # noqa: BLE001 — emit zero artifact
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({
+                "metric": "dia_spmv_roofline_fraction",
+                "value": 0.0,
+                "unit": "fraction_of_hbm_roofline",
+                "vs_baseline": 0.0,
+                "error": f"{type(e2).__name__}: {e2}"[:2000],
+            }))
+            return 1
+    return 0
 
 
-def _run() -> None:
+def _setup():
+    """Shared device/flag context for the run and preflight modes."""
+    import jax
+
+    from spmv_tpu.perfmodel.tiling import TPU_V5E
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform not in ("cpu",)
+    return dev, on_tpu, not on_tpu, TPU_V5E
+
+
+def _legs(on_tpu: bool, interpret: bool):
+    """Yield (name, build) pairs.
+
+    ``build()`` returns (step, args, finish) where ``step(*args)`` is
+    the jittable kernel iteration at the driver shape and ``finish``
+    runs the leg's checksum + timing and returns a detail dict.  The
+    preflight calls only step-compilation; the bench calls finish.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from spmv_tpu.io.generate import poisson2d
-    from spmv_tpu.models import DiaMatrix
-    from spmv_tpu.models.device import DeviceDia
+    from spmv_tpu.io.generate import banded_random, block_random, poisson2d
+    from spmv_tpu.models import DiaMatrix, auto_format
+    from spmv_tpu.models.device import DeviceBsr, DeviceDia, DeviceWellCw
+    from spmv_tpu.models.wellcw import WellCwMatrix
     from spmv_tpu.ops.pallas_kernels import (
+        bsr_spmm,
         dia_extract_y,
+        dia_prepare_X,
         dia_prepare_x,
+        dia_spmm_core,
         dia_spmv_core,
+        wellcw_spmv,
     )
     from spmv_tpu.perfmodel.tiling import TPU_V5E, roofline_time
     from spmv_tpu.profile.harness import time_kernel
 
-    dev = jax.devices()[0]
-    on_tpu = dev.platform not in ("cpu",)
-    interpret = not on_tpu
     machine = TPU_V5E
+    rng = np.random.default_rng(0)
 
+    # ---- headline: DIA SpMV --------------------------------------
     # ~16.8M rows / ~84M nnz: diagonals alone are 336 MB, far beyond
     # on-chip memory — the honest HBM-streaming regime.  (Tiny on CPU.)
     n_grid = 4096 if on_tpu else 64
@@ -103,297 +156,400 @@ def _run() -> None:
     dia = DiaMatrix.from_matrix_market(mm)
     n, nnz = dia.num_rows, dia.num_entries
     A = DeviceDia.from_host(dia, dtype=jnp.float32)
-
-    rng = np.random.default_rng(0)
     x = rng.standard_normal(n).astype(np.float32)
-    x2d = dia_prepare_x(A, jnp.asarray(x), TILE_ROWS)
 
-    def step(x2d, A):
-        return dia_spmv_core(A, x2d, tile_rows=TILE_ROWS,
-                             interpret=interpret)
+    def build_dia():
+        x2d = dia_prepare_x(A, jnp.asarray(x), TILE_ROWS)
 
-    # Correctness gate: on-device |y| checksum vs fp64 host reference.
-    @jax.jit
-    def checksum(x2d, A):
-        y = dia_extract_y(A, step(x2d, A), TILE_ROWS)
-        return jnp.abs(y).sum(dtype=jnp.float32)
+        def step(x2d, A):
+            return dia_spmv_core(A, x2d, tile_rows=TILE_ROWS,
+                                 interpret=interpret)
 
-    want = float(np.abs(dia.spmv(x.astype(np.float64))).sum())
-    got = float(checksum(x2d, A))
-    rel = abs(got - want) / want
-    if rel > CHECKSUM_RTOL:
-        print(json.dumps({
-            "metric": "dia_spmv_roofline_fraction",
-            "value": 0.0,
-            "unit": "fraction_of_hbm_roofline",
-            "vs_baseline": 0.0,
-            "error": f"correctness gate failed: checksum rel err {rel}",
-        }))
-        return
+        def finish():
+            @jax.jit
+            def checksum(x2d, A):
+                y = dia_extract_y(A, step(x2d, A), TILE_ROWS)
+                return jnp.abs(y).sum(dtype=jnp.float32)
 
-    ks, kl = (8, 136) if on_tpu else (2, 6)
-    timing = time_kernel(step, (x2d, A), k_small=ks, k_large=kl, runs=6)
-    t = timing.seconds_per_iteration
+            want = float(np.abs(dia.spmv(x.astype(np.float64))).sum())
+            got = float(checksum(x2d, A))
+            rel = abs(got - want) / want
+            if rel > CHECKSUM_RTOL:
+                raise RuntimeError(
+                    f"correctness gate failed: checksum rel err {rel}")
+            ks, kl = (8, 136) if on_tpu else (2, 6)
+            timing = time_kernel(step, (x2d, A), k_small=ks, k_large=kl,
+                                 runs=6)
+            t = timing.seconds_per_iteration
+            stream_bytes = dia.num_diagonals * 4 * n
+            resident_rw = 2 * n * 4
+            roof = roofline_time(stream_bytes, 2 * nnz, machine=machine,
+                                 dtype="float32",
+                                 resident_rw_bytes=resident_rw)
+            frac = roof["time_roofline_s"] / t
+            naive_roof = roofline_time(stream_bytes + resident_rw,
+                                       2 * nnz, machine=machine,
+                                       dtype="float32")
+            return {
+                "kernel": "pallas_dia_chained",
+                "matrix": f"poisson2d_{n_grid}x{n_grid}",
+                "rows": n,
+                "nnz": nnz,
+                "num_diagonals": dia.num_diagonals,
+                "dtype": "float32",
+                "tile_rows": TILE_ROWS,
+                "seconds_per_spmv": t,
+                "timing_chain_lengths": [timing.k_small, timing.k_large],
+                "gnnz_per_s": nnz / t / 1e9,
+                "gflop_per_s": 2 * nnz / t / 1e9,
+                "hbm_stream_bytes": stream_bytes,
+                "resident_rw_bytes": resident_rw,
+                "achieved_stream_gb_per_s": stream_bytes / t / 1e9,
+                "roofline_s": roof["time_roofline_s"],
+                "roofline_fraction": frac,
+                "naive_single_pass_fraction":
+                    naive_roof["time_roofline_s"] / t,
+                "machine_model": machine.name,
+                "checksum_rel_err": rel,
+            }
 
-    # Secondary: multi-vector SpMM (k=4) through the Pallas kernel.
-    from spmv_tpu.ops.pallas_kernels import dia_prepare_X, dia_spmm_core
+        return step, (x2d, A), finish
 
-    k = 4
-    X = rng.standard_normal((n, k)).astype(np.float32)
-    x3d = dia_prepare_X(A, jnp.asarray(X), SPMM_TILE_ROWS)
+    yield "dia", build_dia
 
-    def spmm_step(x3d, A):
-        return dia_spmm_core(A, x3d, tile_rows=SPMM_TILE_ROWS,
-                             interpret=interpret)
+    # ---- secondary: multi-vector SpMM (k=4) ----------------------
+    def build_spmm():
+        k = 4
+        X = rng.standard_normal((n, k)).astype(np.float32)
+        x3d = dia_prepare_X(A, jnp.asarray(X), SPMM_TILE_ROWS)
 
-    ks, kl = (4, 40) if on_tpu else (2, 4)
-    t_spmm = time_kernel(
-        spmm_step, (x3d, A), k_small=ks, k_large=kl, runs=6
-    ).seconds_per_iteration
-    # X/Y footprint at this size (k*n*4 ~ 268 MB) exceeds the
-    # residency budget, so roofline_time folds it into the HBM stream.
-    spmm_roof = roofline_time(
-        dia.num_diagonals * 4 * n, 2 * k * nnz, machine=machine,
-        dtype="float32", resident_rw_bytes=2 * k * n * 4,
-    )
+        def step(x3d, A):
+            return dia_spmm_core(A, x3d, tile_rows=SPMM_TILE_ROWS,
+                                 interpret=interpret)
 
-    # Secondary: bf16 storage (halves the dominant diagonal stream;
-    # f32 accumulation in-kernel).
-    Ab = DeviceDia.from_host(dia, dtype=jnp.bfloat16)
-    bf16_tile = BF16_TILE_ROWS if on_tpu else TILE_ROWS
-    xb2d = dia_prepare_x(Ab, jnp.asarray(x).astype(jnp.bfloat16),
-                         bf16_tile)
+        def finish():
+            ks, kl = (4, 40) if on_tpu else (2, 4)
+            t_spmm = time_kernel(
+                step, (x3d, A), k_small=ks, k_large=kl, runs=6
+            ).seconds_per_iteration
+            # X/Y footprint at this size (k*n*4 ~ 268 MB) exceeds the
+            # residency budget: roofline folds it into the HBM stream.
+            spmm_roof = roofline_time(
+                dia.num_diagonals * 4 * n, 2 * k * nnz, machine=machine,
+                dtype="float32", resident_rw_bytes=2 * k * n * 4,
+            )
+            return {
+                "spmm_k": k,
+                "spmm_seconds": t_spmm,
+                "spmm_gnnz_per_s": k * nnz / t_spmm / 1e9,
+                "spmm_roofline_fraction":
+                    spmm_roof["time_roofline_s"] / t_spmm,
+            }
 
-    def bstep(x2d, A):
-        return dia_spmv_core(A, x2d, tile_rows=bf16_tile,
-                             interpret=interpret)
+        return step, (x3d, A), finish
 
-    ks, kl = (8, 136) if on_tpu else (2, 6)
-    t_bf16 = time_kernel(
-        bstep, (xb2d, Ab), k_small=ks, k_large=kl, runs=6
-    ).seconds_per_iteration
+    yield "spmm", build_spmm
 
-    # Tertiary: general scattered matrix through WELL-CW (the
-    # irregular-matrix path auto_format selects when per-slot WELL
-    # would spill — probes 26-28).  Random-banded 1M rows / bandwidth
-    # 4096, ~8 nnz/row: no exploitable stencil structure.
-    from spmv_tpu.io.generate import banded_random
-    from spmv_tpu.models.device import DeviceWellCw
-    from spmv_tpu.models.wellcw import WellCwMatrix
-    from spmv_tpu.ops.pallas_kernels import wellcw_spmv
+    # ---- secondary: bf16 storage ---------------------------------
+    def build_bf16():
+        Ab = DeviceDia.from_host(dia, dtype=jnp.bfloat16)
+        bf16_tile = BF16_TILE_ROWS if on_tpu else TILE_ROWS
+        xb2d = dia_prepare_x(Ab, jnp.asarray(x).astype(jnp.bfloat16),
+                             bf16_tile)
 
-    cw_n = (1 << 20) if on_tpu else (1 << 12)
-    cw_mm = banded_random(cw_n, half_bandwidth=2048 if on_tpu else 128,
-                          nnz_per_row=8, seed=1)
-    cw = WellCwMatrix.from_matrix_market(cw_mm)
-    Acw = DeviceWellCw.from_host(cw, dtype=jnp.float32)
-    xw = rng.standard_normal(cw.num_columns).astype(np.float32)
-    xwd = jnp.asarray(xw)
+        def step(x2d, A):
+            return dia_spmv_core(A, x2d, tile_rows=bf16_tile,
+                                 interpret=interpret)
 
-    def cw_step(xwd, Acw):
-        return wellcw_spmv(Acw, xwd, interpret=interpret)
+        def finish():
+            ks, kl = (8, 136) if on_tpu else (2, 6)
+            t_bf16 = time_kernel(
+                step, (xb2d, Ab), k_small=ks, k_large=kl, runs=6
+            ).seconds_per_iteration
+            return {
+                "bf16_seconds_per_spmv": t_bf16,
+                "bf16_gnnz_per_s": nnz / t_bf16 / 1e9,
+            }
 
-    cw_want = float(np.abs(cw.spmv(xw.astype(np.float64))).sum())
-    cw_got = float(jnp.abs(cw_step(xwd, Acw)).sum())
-    cw_rel = abs(cw_got - cw_want) / cw_want
-    cw_ok = cw_rel <= CHECKSUM_RTOL
-    ks, kl = (4, 48) if on_tpu else (2, 4)
-    t_cw = time_kernel(
-        cw_step, (xwd, Acw), k_small=ks, k_large=kl, runs=6
-    ).seconds_per_iteration if cw_ok else float("inf")
-    # Stored stream: the merged grid's value+index tiles (or every
-    # level's, on the fallback layout), the pools' value+index+rowmap;
-    # x and y (4 MB each) are resident.
-    cw_bytes = sum(
-        int(lvl.value.size) * (lvl.value.dtype.itemsize + 4)
-        for lvl in Acw.levels
-    )
-    if Acw.merged is not None:
-        cw_bytes += int(Acw.merged.value.size) * (
-            Acw.merged.value.dtype.itemsize + 4
-        )
-    for _p in ([Acw.pool] if Acw.pool is not None else []) + list(
-        Acw.tail_pools
-    ):
-        cw_bytes += int(_p.value.size) * (_p.value.dtype.itemsize + 8)
-    cw_roof = roofline_time(
-        cw_bytes, 2 * cw.num_entries, machine=machine,
-        dtype="float32", resident_rw_bytes=2 * 4 * cw_n,
-    )
-    cw_frac = cw_roof["time_roofline_s"] / t_cw
+        return step, (xb2d, Ab), finish
 
-    # Quaternary: BSR SpMM on a block-structured matrix — the MXU
-    # path auto_format(workload="spmm") selects (models/select.py).
-    # Roofline = max(block stream at HBM speed, dense flops at the
-    # f32 MXU peak); at k=128 the kernel is near the compute/bandwidth
-    # crossover, the honest regime for the format.
-    from spmv_tpu.io.generate import block_random
-    from spmv_tpu.models import auto_format
-    from spmv_tpu.models.device import DeviceBsr
-    from spmv_tpu.ops.pallas_kernels import bsr_spmm
+    yield "bf16", build_bf16
 
-    bs_n = (1 << 17) if on_tpu else (1 << 10)
-    bs_mm = block_random(bs_n, bs_n, 8 if on_tpu else 2, seed=2)
-    bs_host, bs_rationale = auto_format(bs_mm, workload="spmm")
-    assert bs_rationale["format"] == "bsr", bs_rationale
-    Abs = DeviceBsr.from_host(bs_host, dtype=jnp.float32)
-    bs_k = 128 if on_tpu else 8
-    Xb = rng.standard_normal((bs_n, bs_k)).astype(np.float32)
-    Xbd = jnp.asarray(Xb)
+    # ---- tertiary: scattered matrix through WELL-CW ---------------
+    def build_wellcw():
+        cw_n = (1 << 20) if on_tpu else (1 << 12)
+        cw_mm = banded_random(cw_n,
+                              half_bandwidth=2048 if on_tpu else 128,
+                              nnz_per_row=8, seed=1)
+        cw = WellCwMatrix.from_matrix_market(cw_mm)
+        Acw = DeviceWellCw.from_host(cw, dtype=jnp.float32)
+        xw = rng.standard_normal(cw.num_columns).astype(np.float32)
+        xwd = jnp.asarray(xw)
 
-    def bs_step(Xbd, Abs):
-        return bsr_spmm(Abs, Xbd, interpret=interpret)
+        def step(xwd, Acw):
+            return wellcw_spmv(Acw, xwd, interpret=interpret)
 
-    bs_want = float(
-        np.abs(bs_host.spmm(Xb.astype(np.float64))).sum())
-    bs_got = float(jnp.abs(bs_step(Xbd, Abs)).sum())
-    bs_rel = abs(bs_got - bs_want) / bs_want
-    ks, kl = (4, 24) if on_tpu else (2, 4)
-    t_bs = time_kernel(
-        bs_step, (Xbd, Abs), k_small=ks, k_large=kl, runs=6
-    ).seconds_per_iteration if bs_rel <= CHECKSUM_RTOL else float(
-        "inf")
-    bs_blocks = int(Abs.blocks.shape[0])
-    bs_bytes = bs_blocks * Abs.block_rows * 128 * 4
-    bs_flops = 2 * bs_blocks * Abs.block_rows * 128 * bs_k
-    bs_roof = max(bs_bytes / machine.hbm_gbps / 1e9,
-                  bs_flops / machine.peak_flops_f32)
-    bs_frac = bs_roof / t_bs
+        def finish():
+            cw_want = float(np.abs(cw.spmv(xw.astype(np.float64))).sum())
+            cw_got = float(jnp.abs(step(xwd, Acw)).sum())
+            cw_rel = abs(cw_got - cw_want) / cw_want
+            if cw_rel > CHECKSUM_RTOL:
+                raise RuntimeError(
+                    f"wellcw checksum rel err {cw_rel}")
+            ks, kl = (4, 48) if on_tpu else (2, 4)
+            t_cw = time_kernel(
+                step, (xwd, Acw), k_small=ks, k_large=kl, runs=6
+            ).seconds_per_iteration
+            # Stored stream: the merged grid's value+index tiles (or
+            # every level's, on the fallback layout), the pools'
+            # value+index+rowmap; x and y (4 MB each) are resident.
+            cw_bytes = sum(
+                int(lvl.value.size) * (lvl.value.dtype.itemsize + 4)
+                for lvl in Acw.levels
+            )
+            if Acw.merged is not None:
+                cw_bytes += int(Acw.merged.value.size) * (
+                    Acw.merged.value.dtype.itemsize + 4
+                )
+            for _p in ([Acw.pool] if Acw.pool is not None else []) + list(
+                Acw.tail_pools
+            ):
+                cw_bytes += int(_p.value.size) * (
+                    _p.value.dtype.itemsize + 8)
+            cw_roof = roofline_time(
+                cw_bytes, 2 * cw.num_entries, machine=machine,
+                dtype="float32", resident_rw_bytes=2 * 4 * cw_n,
+            )
+            return {
+                "wellcw_matrix": f"banded_random_{cw_n}x{cw_n}",
+                "wellcw_nnz": cw.num_entries,
+                "wellcw_fill_ratio": cw.fill_ratio,
+                "wellcw_remainder_fraction": cw.remainder_fraction,
+                "wellcw_checksum_rel_err": cw_rel,
+                "wellcw_seconds_per_spmv": t_cw,
+                "wellcw_gnnz_per_s": cw.num_entries / t_cw / 1e9,
+                "wellcw_stored_bytes": cw_bytes,
+                "wellcw_roofline_fraction":
+                    cw_roof["time_roofline_s"] / t_cw,
+            }
 
-    # File-driven stage: the reference's canonical workflow is
-    # file -> .tar.gz -> convert -> run (README.md:84-117); time the
-    # real SuiteSparse-style path end to end so ingest/convert cost
-    # appears in a measured number (time-to-first-SpMV).
-    import tarfile
-    import tempfile
+        return step, (xwd, Acw), finish
 
-    from spmv_tpu.io.matrix_market import load_matrix, \
-        write_matrix_market
+    yield "wellcw", build_wellcw
 
-    fd_mm = banded_random((1 << 18) if on_tpu else (1 << 11),
-                          half_bandwidth=512 if on_tpu else 64,
-                          nnz_per_row=8, seed=3)
-    with tempfile.TemporaryDirectory() as td:
+    # ---- quaternary: BSR SpMM (MXU path) --------------------------
+    def build_bsr():
+        bs_n = (1 << 17) if on_tpu else (1 << 10)
+        bs_mm = block_random(bs_n, bs_n, 8 if on_tpu else 2, seed=2)
+        bs_host, bs_rationale = auto_format(bs_mm, workload="spmm")
+        assert bs_rationale["format"] == "bsr", bs_rationale
+        Abs = DeviceBsr.from_host(bs_host, dtype=jnp.float32)
+        bs_k = 128 if on_tpu else 8
+        Xb = rng.standard_normal((bs_n, bs_k)).astype(np.float32)
+        Xbd = jnp.asarray(Xb)
+
+        def step(Xbd, Abs):
+            return bsr_spmm(Abs, Xbd, interpret=interpret)
+
+        def finish():
+            bs_want = float(
+                np.abs(bs_host.spmm(Xb.astype(np.float64))).sum())
+            bs_got = float(jnp.abs(step(Xbd, Abs)).sum())
+            bs_rel = abs(bs_got - bs_want) / bs_want
+            if bs_rel > CHECKSUM_RTOL:
+                raise RuntimeError(f"bsr checksum rel err {bs_rel}")
+            ks, kl = (4, 24) if on_tpu else (2, 4)
+            t_bs = time_kernel(
+                step, (Xbd, Abs), k_small=ks, k_large=kl, runs=6
+            ).seconds_per_iteration
+            bs_blocks = int(Abs.blocks.shape[0])
+            bs_bytes = bs_blocks * Abs.block_rows * 128 * 4
+            bs_flops = 2 * bs_blocks * Abs.block_rows * 128 * bs_k
+            bs_roof = max(bs_bytes / machine.hbm_gbps / 1e9,
+                          bs_flops / machine.peak_flops_f32)
+            return {
+                "bsr_matrix": f"block_random_{bs_n}x{bs_n}",
+                "bsr_nnz": bs_host.num_entries,
+                "bsr_block_rows": Abs.block_rows,
+                "bsr_spmm_k": bs_k,
+                "bsr_checksum_rel_err": bs_rel,
+                "bsr_spmm_seconds": t_bs,
+                "bsr_spmm_gnnz_per_s":
+                    bs_k * bs_host.num_entries / t_bs / 1e9,
+                "bsr_spmm_tflops": bs_flops / t_bs / 1e12,
+                "bsr_spmm_roofline_fraction": bs_roof / t_bs,
+            }
+
+        return step, (Xbd, Abs), finish
+
+    yield "bsr", build_bsr
+
+    # ---- file-driven stage: ingest -> convert -> first SpMV -------
+    def build_file_driven():
+        # The reference's canonical workflow is file -> .tar.gz ->
+        # convert -> run (README.md:84-117); time the SuiteSparse-style
+        # path end to end so ingest/convert cost appears in a measured
+        # number (time-to-first-SpMV).  No pallas compile of its own
+        # (reuses wellcw_spmv), so preflight just builds the archive.
         import io as _io
         import os as _os
+        import tarfile
+        import tempfile
 
-        buf = _io.StringIO()
-        write_matrix_market(fd_mm, buf)
-        payload = buf.getvalue().encode()
-        tgz = _os.path.join(td, "fdbench.tar.gz")
-        with tarfile.open(tgz, "w:gz") as tf:
-            info = tarfile.TarInfo("fdbench/fdbench.mtx")
-            info.size = len(payload)
-            tf.addfile(info, _io.BytesIO(payload))
-        file_bytes = _os.path.getsize(tgz)
+        from spmv_tpu.io.matrix_market import (
+            load_matrix,
+            write_matrix_market,
+        )
 
+        fd_mm = banded_random((1 << 18) if on_tpu else (1 << 11),
+                              half_bandwidth=512 if on_tpu else 64,
+                              nnz_per_row=8, seed=3)
+
+        def step():
+            return None
+
+        def finish():
+            with tempfile.TemporaryDirectory() as td:
+                buf = _io.StringIO()
+                write_matrix_market(fd_mm, buf)
+                payload = buf.getvalue().encode()
+                tgz = _os.path.join(td, "fdbench.tar.gz")
+                with tarfile.open(tgz, "w:gz") as tf:
+                    info = tarfile.TarInfo("fdbench/fdbench.mtx")
+                    info.size = len(payload)
+                    tf.addfile(info, _io.BytesIO(payload))
+                file_bytes = _os.path.getsize(tgz)
+
+                t0 = time.perf_counter()
+                fd_loaded = load_matrix(tgz)
+                t1 = time.perf_counter()
+                fd_cw = WellCwMatrix.from_matrix_market(fd_loaded)
+                t2 = time.perf_counter()
+                Afd = DeviceWellCw.from_host(fd_cw, dtype=jnp.float32)
+                xfd = jnp.asarray(rng.standard_normal(
+                    fd_cw.num_columns).astype(np.float32))
+                y_first = wellcw_spmv(Afd, xfd, interpret=interpret)
+                fd_checksum = float(jnp.abs(y_first).sum())
+                t3 = time.perf_counter()
+            fd_want = float(np.abs(fd_cw.spmv(
+                np.asarray(xfd, np.float64))).sum())
+            return {"file_driven": {
+                "file_bytes": file_bytes,
+                "nnz": fd_loaded.num_entries,
+                "ingest_seconds": t1 - t0,
+                "convert_seconds": t2 - t1,
+                "device_and_first_spmv_seconds": t3 - t2,
+                "time_to_solution_seconds": t3 - t0,
+                "checksum_rel_err":
+                    abs(fd_checksum - fd_want) / fd_want,
+            }}
+
+        return step, None, finish
+
+    yield "file_driven", build_file_driven
+
+
+def _preflight() -> int:
+    """AOT-compile every leg's kernel at driver shapes; no timing.
+
+    Catches scoped-VMEM / lowering regressions (the BENCH_r03 failure
+    mode) without a full bench run.  Prints one JSON line per leg and
+    exits non-zero if any compile fails.
+    """
+    import jax
+
+    dev, on_tpu, interpret, _ = _setup()
+    failed = []
+    for name, build in _legs(on_tpu, interpret):
         t0 = time.perf_counter()
-        fd_loaded = load_matrix(tgz)
-        t1 = time.perf_counter()
-        fd_cw = WellCwMatrix.from_matrix_market(fd_loaded)
-        t2 = time.perf_counter()
-        Afd = DeviceWellCw.from_host(fd_cw, dtype=jnp.float32)
-        xfd = jnp.asarray(
-            rng.standard_normal(fd_cw.num_columns).astype(np.float32))
-        y_first = wellcw_spmv(Afd, xfd, interpret=interpret)
-        fd_checksum = float(jnp.abs(y_first).sum())
-        t3 = time.perf_counter()
-    fd_want = float(np.abs(fd_cw.spmv(
-        np.asarray(xfd, np.float64))).sum())
-    fd_rel = abs(fd_checksum - fd_want) / fd_want
-    file_driven = {
-        "file_bytes": file_bytes,
-        "nnz": fd_loaded.num_entries,
-        "ingest_seconds": t1 - t0,
-        "convert_seconds": t2 - t1,
-        "device_and_first_spmv_seconds": t3 - t2,
-        "time_to_solution_seconds": t3 - t0,
-        "checksum_rel_err": fd_rel,
-    }
-    if on_tpu and (not cw_ok or cw_frac < WELLCW_FLOOR):
+        try:
+            step, args, _finish = build()
+            if args is not None:
+                compiled = jax.jit(step).lower(*args).compile()
+                mem = compiled.memory_analysis()
+                extra = {
+                    "output_bytes": getattr(mem, "output_size_in_bytes",
+                                            None),
+                    "temp_bytes": getattr(mem, "temp_size_in_bytes",
+                                          None),
+                }
+            else:
+                extra = {}
+            print(json.dumps({
+                "leg": name, "ok": True,
+                "compile_seconds": time.perf_counter() - t0, **extra,
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001 — report every leg
+            failed.append(name)
+            print(json.dumps({
+                "leg": name, "ok": False,
+                "error": f"{type(e).__name__}: {e}"[:2000],
+            }), flush=True)
+    print(json.dumps({"preflight_ok": not failed, "failed": failed,
+                      "device": str(dev)}), flush=True)
+    return 1 if failed else 0
+
+
+def _run(gate_wellcw: bool | None = None) -> None:
+    """Run all legs.  ``gate_wellcw`` overrides whether the WELL-CW
+    floor is enforced (default: only on TPU, where the floor's
+    calibration holds); tests use it to pin the gate on CPU shapes."""
+    dev, on_tpu, interpret, machine = _setup()
+    if gate_wellcw is None:
+        gate_wellcw = on_tpu
+
+    detail = {"device": str(dev)}
+    errors = {}
+    headline = None
+    legs = list(_legs(on_tpu, interpret))
+    for name, build in legs:
+        try:
+            _step, _args, finish = build()
+            res = finish()
+            if name == "dia":
+                headline = res
+            detail.update(res)
+        except Exception as e:  # noqa: BLE001 — isolate the leg
+            if name == "dia":
+                raise  # headline failure = bench failure (retried once)
+            errors[name] = f"{type(e).__name__}: {e}"[:2000]
+            detail[f"{name}_error"] = errors[name]
+            traceback.print_exc(file=sys.stderr)
+
+    frac = headline["roofline_fraction"]
+
+    # The WELL-CW floor is a FAILING gate (VERDICT r2 item 2): dia and
+    # wellcw gate the artifact; the rider legs (spmm/bf16/bsr/file) are
+    # fault-isolated.  A *crashed* wellcw leg is a structural
+    # regression by definition and trips the gate too.
+    cw_frac = detail.get("wellcw_roofline_fraction")
+    cw_bad = gate_wellcw and (
+        "wellcw" in errors
+        or (cw_frac is not None and cw_frac < WELLCW_FLOOR)
+    )
+    if cw_bad:
         print(json.dumps({
             "metric": "dia_spmv_roofline_fraction",
             "value": 0.0,
             "unit": "fraction_of_hbm_roofline",
             "vs_baseline": 0.0,
-            "error": (
-                "wellcw gate failed: "
-                + (f"checksum rel err {cw_rel}" if not cw_ok else
-                   f"roofline fraction {cw_frac:.4f} < "
-                   f"{WELLCW_FLOOR}")
-            ),
+            "error": ("wellcw gate failed: "
+                      + (errors.get("wellcw")
+                         or f"roofline fraction {cw_frac:.4f} < "
+                            f"{WELLCW_FLOOR}")),
+            "detail": detail,
         }))
         return
-
-    # Residency-aware roofline for the headline (probes 30-33): the
-    # diagonal stream crosses HBM once per SpMV; the aliased x/y
-    # buffer (67 MB) stays on-chip across chained iterations.
-    stream_bytes = dia.num_diagonals * 4 * n
-    resident_rw = 2 * n * 4
-    roof = roofline_time(stream_bytes, 2 * nnz, machine=machine,
-                         dtype="float32", resident_rw_bytes=resident_rw)
-    frac = roof["time_roofline_s"] / t
-    # The naive single-pass model (every byte at HBM speed) — >1 for
-    # this kernel because of residency; kept for continuity with r01.
-    naive_roof = roofline_time(stream_bytes + resident_rw, 2 * nnz,
-                               machine=machine, dtype="float32")
-    naive_frac = naive_roof["time_roofline_s"] / t
 
     result = {
         "metric": "dia_spmv_roofline_fraction",
         "value": round(frac, 4),
         "unit": "fraction_of_hbm_roofline",
         "vs_baseline": round(frac / BASELINE_FRACTION, 4),
-        "detail": {
-            "device": str(dev),
-            "kernel": "pallas_dia_chained",
-            "matrix": f"poisson2d_{n_grid}x{n_grid}",
-            "rows": n,
-            "nnz": nnz,
-            "num_diagonals": dia.num_diagonals,
-            "dtype": "float32",
-            "tile_rows": TILE_ROWS,
-            "seconds_per_spmv": t,
-            "timing_chain_lengths": [timing.k_small, timing.k_large],
-            "gnnz_per_s": nnz / t / 1e9,
-            "gflop_per_s": 2 * nnz / t / 1e9,
-            "hbm_stream_bytes": stream_bytes,
-            "resident_rw_bytes": resident_rw,
-            "achieved_stream_gb_per_s": stream_bytes / t / 1e9,
-            "roofline_s": roof["time_roofline_s"],
-            "naive_single_pass_fraction": round(naive_frac, 4),
-            "machine_model": machine.name,
-            "checksum_rel_err": rel,
-            "spmm_k": k,
-            "spmm_seconds": t_spmm,
-            "spmm_gnnz_per_s": k * nnz / t_spmm / 1e9,
-            "spmm_roofline_fraction": spmm_roof["time_roofline_s"]
-            / t_spmm,
-            "bf16_seconds_per_spmv": t_bf16,
-            "bf16_gnnz_per_s": nnz / t_bf16 / 1e9,
-            "bf16_speedup_vs_f32": t / t_bf16,
-            "wellcw_matrix": f"banded_random_{cw_n}x{cw_n}",
-            "wellcw_nnz": cw.num_entries,
-            "wellcw_fill_ratio": cw.fill_ratio,
-            "wellcw_remainder_fraction": cw.remainder_fraction,
-            "wellcw_checksum_rel_err": cw_rel,
-            "wellcw_seconds_per_spmv": t_cw,
-            "wellcw_gnnz_per_s": cw.num_entries / t_cw / 1e9,
-            "wellcw_stored_bytes": cw_bytes,
-            "wellcw_roofline_fraction": cw_frac,
-            "bsr_matrix": f"block_random_{bs_n}x{bs_n}",
-            "bsr_nnz": bs_host.num_entries,
-            "bsr_block_rows": Abs.block_rows,
-            "bsr_spmm_k": bs_k,
-            "bsr_checksum_rel_err": bs_rel,
-            "bsr_spmm_seconds": t_bs,
-            "bsr_spmm_gnnz_per_s": bs_k * bs_host.num_entries
-            / t_bs / 1e9,
-            "bsr_spmm_tflops": bs_flops / t_bs / 1e12,
-            "bsr_spmm_roofline_fraction": bs_frac,
-            "file_driven": file_driven,
-        },
+        "detail": detail,
     }
+    if errors:
+        result["leg_errors"] = sorted(errors)
     print(json.dumps(result))
 
 

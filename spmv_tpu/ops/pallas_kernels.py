@@ -868,13 +868,29 @@ def _bsr_spmm_wholex_kernel(bcol_ref, brow_ref, x_ref, blk_ref, y_ref,
 
 
 # X residency budget for the whole-X BSR path: X + double-buffered
-# block/Y tiles must fit the ~128 MB v5e VMEM with headroom.
+# block/Y tiles must fit v5e's 128 MB VMEM with headroom.  The
+# environment's *default* scoped-VMEM limit can be far smaller (the
+# round-3 driver compiled with 16 MB and OOM'd, BENCH_r03.json), so
+# the whole-X pallas_call always passes an explicit
+# CompilerParams(vmem_limit_bytes=...) sized from its actual buffers
+# rather than trusting the default.
 _BSR_WHOLEX_BYTES = 80 * 1024 * 1024
+# Everything the Mosaic scoped allocator must fit besides X: two
+# buffers each for the block tile and the Y tile, plus slack for
+# semaphores/iota/accumulator spills.
+_BSR_VMEM_HEADROOM = 12 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
     """Y = A @ X for DeviceBsr; X of shape (num_columns, k).
+
+    dtype contract: X is cast to ``A.blocks.dtype`` before the kernel
+    (a silent downcast when the blocks are stored bf16); partial sums
+    always accumulate in f32 when the blocks are bf16, and Y is
+    returned in that accumulator dtype — so **bf16 blocks give
+    f32 output from (implicitly bf16) inputs**.  With f32 blocks Y is
+    f32.  Measured in probe 54 (experiments/RESULTS.md).
 
     Two paths.  The pipelined path streams one (LANE, k) X tile per
     block through a BlockSpec index map — which re-fetches X once per
@@ -883,7 +899,9 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
     BENCH detail).  When X fits the VMEM budget it instead stays
     RESIDENT whole (the WELL SpMM's whole-x mode) and the kernel
     indexes its block-column tile dynamically, so only the blocks
-    stream from HBM.
+    stream from HBM; that call carries an explicit vmem_limit_bytes
+    because default scoped-VMEM limits (16 MB in the round-3 driver)
+    are far below the resident X.
     """
     from spmv_tpu.models.device import DeviceBsr
 
@@ -904,6 +922,10 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
     bh = A.block_rows
     x_bytes = ncb * LANE * k * x3d.dtype.itemsize
     if x_bytes <= _BSR_WHOLEX_BYTES:
+        acc_itemsize = jnp.dtype(acc_dtype).itemsize
+        tile_bytes = 2 * (kb * bh * LANE * x3d.dtype.itemsize
+                          + bh * k * acc_itemsize)
+        vmem_limit = x_bytes + tile_bytes + _BSR_VMEM_HEADROOM
         kernel = functools.partial(
             _bsr_spmm_wholex_kernel, kb=kb, dtype=acc_dtype
         )
@@ -932,6 +954,9 @@ def bsr_spmm(A, X: jax.Array, interpret: bool = False) -> jax.Array:
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (A.num_block_rows, bh, k), acc_dtype
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit)
             ),
             interpret=interpret,
         )(A.block_col, A.block_row, x3d, A.blocks)
