@@ -58,8 +58,12 @@ def conjugate_gradient(
     ~2e-5, so it runs to ``max_iterations`` where the plain recurrence
     would falsely report convergence; (b) the search direction p is
     KEPT — restarting p on replacement measured 838 vs 352 iterations
-    to the same tolerance.
+    to the same tolerance.  ``recompute_every`` must be >= 0 (0
+    disables replacement); negative values raise.
     """
+    if recompute_every < 0:
+        raise ValueError(
+            f"recompute_every must be >= 0, got {recompute_every}")
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - matvec(x0)
     p0 = r0
@@ -111,8 +115,11 @@ def preconditioned_conjugate_gradient(
 
     ``recompute_every`` enables periodic residual replacement exactly
     as in :func:`conjugate_gradient` (one extra matvec per k
-    iterations; bounds f32 recurrence drift).
+    iterations; bounds f32 recurrence drift); must be >= 0.
     """
+    if recompute_every < 0:
+        raise ValueError(
+            f"recompute_every must be >= 0, got {recompute_every}")
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - matvec(x0)
     z0 = preconditioner(r0)

@@ -402,6 +402,56 @@ def test_spmv_scaling_model():
         spmv_scaling_model(4, 128, scheme="bogus")
 
 
+def test_ici_efficiency_breakeven():
+    """The leash on the unmeasured ICI constant (VERDICT r3 item 8):
+    reports carry the efficiency at which the >=0.8 weak-scaling claim
+    would fail, pinned here on hand-computable cases."""
+    from spmv_tpu.perfmodel import spmv_scaling_model
+    from spmv_tpu.perfmodel.scaling import (
+        ICI_EFFICIENCY,
+        MEASURED_HBM_EFFICIENCY,
+        WEAK_SCALING_TARGET,
+    )
+    from spmv_tpu.perfmodel.tiling import TPU_V5E
+
+    # no communication -> the claim can never fail on ICI
+    one = spmv_scaling_model(1, 1 << 21, halo=4096)
+    assert one.ici_efficiency_breakeven == 0.0
+
+    # overlapped dia-halo, hand check:
+    #   comm  = 2 * 4096 * 4 B
+    #   local = 7 * 4 * R / (hbm * 0.80)
+    #   e*    = 0.8 * comm / (ici_peak * t_local)
+    m = spmv_scaling_model(4, 1 << 21, halo=4096)
+    comm = 2 * 4096 * 4
+    t_local = (7 * 4 * (1 << 21)) / (
+        TPU_V5E.hbm_gbps * 1e9 * MEASURED_HBM_EFFICIENCY)
+    ici_peak = TPU_V5E.ici_gbps_per_link * 1e9 * TPU_V5E.ici_links
+    expect = WEAK_SCALING_TARGET * comm / (ici_peak * t_local)
+    assert m.ici_efficiency_breakeven == pytest.approx(expect)
+    # tiny halo next to the local stream: robust to the assumption
+    assert m.ici_efficiency_breakeven < 0.01 < ICI_EFFICIENCY
+
+    # serialized all-gather: e* carries the 1/(1-target) factor
+    ag = spmv_scaling_model(64, 1 << 21, scheme="all-gather")
+    comm_ag = 63 * (1 << 21) * 4
+    expect_ag = (WEAK_SCALING_TARGET * comm_ag
+                 / (ici_peak * t_local * (1 - WEAK_SCALING_TARGET)))
+    assert ag.ici_efficiency_breakeven == pytest.approx(expect_ag)
+
+    # the invariant the field encodes: claim holds at the assumed
+    # efficiency iff the assumption exceeds the breakeven
+    for model in (m, ag):
+        holds = model.weak_efficiency >= WEAK_SCALING_TARGET
+        assert holds == (
+            ICI_EFFICIENCY >= model.ici_efficiency_breakeven), model
+
+    # and it is in the JSON report
+    d = ag.to_json()
+    assert d["ici_efficiency_breakeven"] == pytest.approx(expect_ag)
+    assert d["weak_scaling_target"] == WEAK_SCALING_TARGET
+
+
 def test_replay_progress_reporting():
     # SIGALRM-progress analogue (replacement.cpp:65-93): both the
     # native and Python replay paths invoke the callback with

@@ -104,3 +104,33 @@ def test_replacement_in_pcg_and_dia():
                                   max_iterations=3000, path="xla",
                                   recompute_every=10)
     assert _true_rel(m, b, resd.x) <= 1e-9
+
+    # padded Pallas-layout branch (ADVICE r3): replacement there
+    # recomputes b2 - matvec2(x) in the padded 2-D layout; the fp64
+    # true residual must still meet tol, with and without Jacobi.
+    resp = dia_conjugate_gradient(Ad, b, tol=1e-10,
+                                  max_iterations=3000, path="pallas",
+                                  interpret=True, recompute_every=10)
+    assert _true_rel(m, b, resp.x) <= 1e-9
+    from spmv_tpu.ops import extract_diagonal as _ed
+    respj = dia_conjugate_gradient(
+        Ad, b, tol=1e-10, max_iterations=3000, path="pallas",
+        interpret=True, recompute_every=10,
+        jacobi_diag=jnp.asarray(_ed(m), b.dtype))
+    assert _true_rel(m, b, respj.x) <= 1e-9
+
+
+def test_negative_recompute_every_raises():
+    """Library-level validation (ADVICE r3): programmatic callers get
+    the documented semantics, not Python-modulo surprises."""
+    import pytest
+
+    m, A, b = _system(8, jnp.float64)
+    mv = lambda v: spmv(A, v)  # noqa: E731
+    with pytest.raises(ValueError, match="recompute_every"):
+        conjugate_gradient(mv, b, recompute_every=-5)
+    from spmv_tpu.ops import extract_diagonal
+    diag = jnp.asarray(extract_diagonal(m), b.dtype)
+    with pytest.raises(ValueError, match="recompute_every"):
+        preconditioned_conjugate_gradient(
+            mv, b, jacobi_preconditioner(diag), recompute_every=-1)
