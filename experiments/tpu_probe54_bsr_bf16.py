@@ -48,13 +48,21 @@ for tag, dtype, kbs in (("f32", jnp.float32, (8,)),
         rel = abs(got - want) / want
         t = time_kernel(step, (Xd, A), k_small=4, k_large=24,
                         runs=6).seconds_per_iteration
-        nb = int(A.blocks.shape[0])
-        flops = 2 * nb * A.block_rows * 128 * K
-        stream = nb * A.block_rows * 128 * A.blocks.dtype.itemsize
+        # Useful flops from the UNPADDED host block count; the device
+        # array pads to a multiple of kb (larger kb pads more), so
+        # padded-flop TFLOPs would be inflated inconsistently across
+        # kb values (ADVICE r3).  The padded stream is what actually
+        # crosses HBM; report both plus the pad fraction.
+        nb_useful = int(host.blocks.shape[0])
+        nb_padded = int(A.blocks.shape[0])
+        flops = 2 * nb_useful * A.block_rows * 128 * K
+        stream = (nb_padded * A.block_rows * 128
+                  * A.blocks.dtype.itemsize)
         out[f"{tag}_kb{kb}"] = {
             "seconds": t,
             "tflops": flops / t / 1e12,
-            "stream_gbps": stream / t / 1e9,
+            "padded_stream_gbps": stream / t / 1e9,
+            "pad_fraction": (nb_padded - nb_useful) / nb_padded,
             "checksum_rel_err": rel,
         }
         print(tag, kb, out[f"{tag}_kb{kb}"], flush=True)
