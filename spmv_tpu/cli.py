@@ -130,6 +130,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--list-devices", action="store_true",
                    help="list attached JAX devices and built-in machine "
                         "models (the analogue of --list-perf-events)")
+    p.add_argument("--list-profile-events", nargs="?", const="",
+                   metavar="DIR",
+                   help="enumerate the profiler's event/stat namespace "
+                        "(planes, lines, per-event stat names/types, "
+                        "derived report fields) — the full analogue of "
+                        "the reference's --list-perf-events PMU walk. "
+                        "Reads an existing --jax-profile capture DIR, "
+                        "or profiles a tiny run on the default device "
+                        "when DIR is omitted")
     p.add_argument("--progress-interval", type=float, metavar="SECONDS",
                    default=5.0,
                    help="print simulation replay progress to stderr at "
@@ -637,6 +646,13 @@ def main(argv=None, out=None) -> int:
     try:
         if args.list_devices:
             _list_devices(out)
+        elif args.list_profile_events is not None:
+            from spmv_tpu.profile import list_profile_events
+            from spmv_tpu.utils.jsonio import dump_json
+
+            dump_json(
+                list_profile_events(args.list_profile_events or None),
+                out)
         elif args.cg > 0:
             _solve_cg(args, out)
         elif args.profile > 0:

@@ -9,6 +9,8 @@ from spmv_tpu.profile.report import profiling_report
 from spmv_tpu.profile.xplane import (
     summarize_xplane,
     profiling_events_section,
+    list_profile_events,
+    hlo_bytes_accessed,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "profiling_report",
     "summarize_xplane",
     "profiling_events_section",
+    "list_profile_events",
+    "hlo_bytes_accessed",
 ]

@@ -28,7 +28,8 @@ from spmv_tpu.errors import ProfileError
 from spmv_tpu.utils.sample import Sample
 
 __all__ = ["find_xplane_file", "summarize_xplane",
-           "profiling_events_section", "hlo_bytes_accessed"]
+           "profiling_events_section", "hlo_bytes_accessed",
+           "list_profile_events"]
 
 # host-side bookkeeping lines that would swamp the report
 _SKIP_LINES = {"python", "Steps", "Framework Name Scope"}
@@ -244,3 +245,68 @@ def profiling_events_section(
         return summarize_xplane(jax_profile_dir, top_k=top_k)
     except Exception as e:  # noqa: BLE001 — report the parse failure
         return {"error": f"{type(e).__name__}: {e}"}
+
+
+def list_profile_events(capture: Optional[str] = None) -> dict:
+    """Enumerate the profiler's event/stat namespace.
+
+    The analogue of the reference's ``--list-perf-events``
+    (src/util/perf-events.cpp:104-181), which walks every PMU, event
+    and attribute libpfm4 can encode.  Here the namespace is whatever
+    the xplane capture carries: planes, their lines, each line's event
+    count and the stat names/types attached to its events — plus the
+    fields ``summarize_xplane`` derives from them.  With no ``capture``
+    directory, a tiny jitted matmul is profiled first on the default
+    device so the listing reflects THIS backend's actual namespace.
+    """
+    import tempfile
+
+    from jax.profiler import ProfileData
+
+    if capture is None:
+        import jax
+        import jax.numpy as jnp
+
+        capture = tempfile.mkdtemp(prefix="spmv_tpu_evlist_")
+
+        @jax.jit
+        def _probe(x):
+            return (x @ x).sum()
+
+        x = jnp.ones((256, 256), jnp.float32)
+        float(_probe(x))            # warm: keep compile out of the trace
+        with jax.profiler.trace(capture):
+            float(_probe(x))
+
+    fn = find_xplane_file(capture)
+    pd = ProfileData.from_file(fn)
+    planes = []
+    for plane in pd.planes:
+        lines = []
+        for line in plane.lines:
+            statnames: dict = {}
+            nev = 0
+            for ev in line.events:
+                nev += 1
+                for sname, sval in ev.stats:
+                    statnames.setdefault(sname, type(sval).__name__)
+            lines.append({
+                "line": line.name,
+                "num_events": nev,
+                "event_stats": [
+                    {"name": k, "type": v}
+                    for k, v in sorted(statnames.items())
+                ],
+            })
+        planes.append({"plane": plane.name, "lines": lines})
+    return {
+        "capture": fn,
+        "planes": planes,
+        # what the report layer computes on top of the raw namespace
+        "derived_event_fields": [
+            "count", "total_ns", "duration_ns (sample statistics)",
+            "fraction_of_plane", "bytes_accessed (HLO shapes)",
+            "total_bytes", "achieved_gb_per_s",
+            "counter_stats (byte/flop/bandwidth/dma/stall passthrough)",
+        ],
+    }

@@ -296,3 +296,35 @@ def test_auto_spmm_selects_bsr_and_runs(tmp_path):
     doc = json.loads(text)
     assert doc["kernel"]["name"] == "bsr"
     assert doc["op"] == {"kind": "spmm", "k": 4}
+
+
+def test_list_profile_events_from_capture():
+    """--list-profile-events DIR enumerates the xplane namespace (the
+    full analogue of the reference's --list-perf-events PMU walk,
+    src/util/perf-events.cpp:104-181) from a committed real-TPU
+    capture: planes, lines, stat names/types, derived fields."""
+    import os
+
+    fix = os.path.join(os.path.dirname(__file__), "data",
+                       "dia_poisson4096_tpu.xplane.pb")
+    rc, text = _run(["--list-profile-events", fix])
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["capture"] == fix
+    planes = {p["plane"]: p for p in doc["planes"]}
+    assert "/device:TPU:0" in planes
+    ops_lines = {l["line"]: l for l in planes["/device:TPU:0"]["lines"]}
+    assert "XLA Ops" in ops_lines
+    statnames = {s["name"] for s in ops_lines["XLA Ops"]["event_stats"]}
+    assert "device_duration_ps" in statnames
+    assert any("bytes_accessed" in f
+               for f in doc["derived_event_fields"])
+
+
+def test_list_profile_events_live_run():
+    """Without DIR, a tiny profiled run on the default (CPU here)
+    backend supplies the namespace."""
+    rc, text = _run(["--list-profile-events"])
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["planes"], doc
