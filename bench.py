@@ -344,12 +344,16 @@ def _legs(on_tpu: bool, interpret: bool):
         bs_host, bs_rationale = auto_format(bs_mm, workload="spmm")
         assert bs_rationale["format"] == "bsr", bs_rationale
         Abs = DeviceBsr.from_host(bs_host, dtype=jnp.float32)
+        Ab16 = DeviceBsr.from_host(bs_host, dtype=jnp.bfloat16)
         bs_k = 128 if on_tpu else 8
         Xb = rng.standard_normal((bs_n, bs_k)).astype(np.float32)
         Xbd = jnp.asarray(Xb)
 
         def step(Xbd, Abs):
             return bsr_spmm(Abs, Xbd, interpret=interpret)
+
+        def step16(Xbd, Ab16):
+            return bsr_spmm(Ab16, Xbd, interpret=interpret)
 
         def finish():
             bs_want = float(
@@ -367,7 +371,7 @@ def _legs(on_tpu: bool, interpret: bool):
             bs_flops = 2 * bs_blocks * Abs.block_rows * 128 * bs_k
             bs_roof = max(bs_bytes / machine.hbm_gbps / 1e9,
                           bs_flops / machine.peak_flops_f32)
-            return {
+            detail = {
                 "bsr_matrix": f"block_random_{bs_n}x{bs_n}",
                 "bsr_nnz": bs_host.num_entries,
                 "bsr_block_rows": Abs.block_rows,
@@ -379,8 +383,31 @@ def _legs(on_tpu: bool, interpret: bool):
                 "bsr_spmm_tflops": bs_flops / t_bs / 1e12,
                 "bsr_spmm_roofline_fraction": bs_roof / t_bs,
             }
+            # bf16 block storage (probe 54: 1.86x over f32; f32
+            # accumulation, checksummed separately at a looser bound
+            # for the bf16 quantization of 134M products).
+            got16 = float(jnp.abs(step16(Xbd, Ab16)).sum())
+            rel16 = abs(got16 - bs_want) / bs_want
+            if rel16 <= 1e-2:
+                t16 = time_kernel(
+                    step16, (Xbd, Ab16), k_small=ks, k_large=kl,
+                    runs=6).seconds_per_iteration
+                roof16 = max(
+                    bs_bytes / 2 / machine.hbm_gbps / 1e9,
+                    bs_flops / machine.peak_flops_bf16)
+                detail.update({
+                    "bsr_bf16_checksum_rel_err": rel16,
+                    "bsr_bf16_spmm_seconds": t16,
+                    "bsr_bf16_spmm_tflops": bs_flops / t16 / 1e12,
+                    "bsr_bf16_roofline_fraction": roof16 / t16,
+                    "bsr_bf16_speedup_vs_f32": t_bs / t16,
+                })
+            else:
+                detail["bsr_bf16_error"] = (
+                    f"checksum rel err {rel16}")
+            return detail
 
-        return step, (Xbd, Abs), finish
+        return [step, step16], [(Xbd, Abs), (Xbd, Ab16)], finish
 
     yield "bsr", build_bsr
 
@@ -464,17 +491,19 @@ def _preflight() -> int:
         t0 = time.perf_counter()
         try:
             step, args, _finish = build()
-            if args is not None:
-                compiled = jax.jit(step).lower(*args).compile()
+            pairs = (list(zip(step, args)) if isinstance(step, list)
+                     else [(step, args)])
+            extra = {}
+            for j, (stp, ag) in enumerate(pairs):
+                if ag is None:
+                    continue
+                compiled = jax.jit(stp).lower(*ag).compile()
                 mem = compiled.memory_analysis()
-                extra = {
-                    "output_bytes": getattr(mem, "output_size_in_bytes",
-                                            None),
-                    "temp_bytes": getattr(mem, "temp_size_in_bytes",
-                                          None),
-                }
-            else:
-                extra = {}
+                suffix = f"_{j}" if len(pairs) > 1 else ""
+                extra[f"output_bytes{suffix}"] = getattr(
+                    mem, "output_size_in_bytes", None)
+                extra[f"temp_bytes{suffix}"] = getattr(
+                    mem, "temp_size_in_bytes", None)
             print(json.dumps({
                 "leg": name, "ok": True,
                 "compile_seconds": time.perf_counter() - t0, **extra,

@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# Long-running (VERDICT r3 item 9): excluded from the fast core;
+# run with the full suite or -m slow.
+pytestmark = pytest.mark.slow
+
 from spmv_tpu.io.generate import poisson2d
 from spmv_tpu.models import CsrMatrix, DiaMatrix
 from spmv_tpu.models.device import DeviceCsr

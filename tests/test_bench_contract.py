@@ -16,6 +16,10 @@ import sys
 from contextlib import redirect_stdout
 
 import pytest
+# Long-running (VERDICT r3 item 9): excluded from the fast core;
+# run with the full suite or -m slow.
+pytestmark = pytest.mark.slow
+
 
 
 def _load_bench():

@@ -13,6 +13,10 @@ import subprocess
 import sys
 
 import pytest
+# Long-running (VERDICT r3 item 9): excluded from the fast core;
+# run with the full suite or -m slow.
+pytestmark = pytest.mark.slow
+
 
 _WORKER = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

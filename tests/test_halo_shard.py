@@ -101,6 +101,7 @@ def test_comm_volume_matches_model():
     assert Ah.comm_elements_padded < vol["all_gather_elements"]
 
 
+@pytest.mark.slow
 def test_forced_all2all_matches_neighbor(mesh):
     mm = poisson2d(12, 12)
     m = CsrMatrix.from_matrix_market(mm)
@@ -114,6 +115,7 @@ def test_forced_all2all_matches_neighbor(mesh):
     np.testing.assert_allclose(yn, ya, rtol=1e-13)
 
 
+@pytest.mark.slow
 def test_halo_cg_matches_allgather_cg(mesh):
     mm = poisson2d(16, 16)
     m = CsrMatrix.from_matrix_market(mm)
@@ -157,6 +159,7 @@ def test_single_shard_and_rectangular():
 # --- WELL halo variant -----------------------------------------------------
 
 
+@pytest.mark.slow
 def test_well_halo_matches_allgather(mesh):
     from spmv_tpu.parallel import (
         shard_well, shard_well_halo,

@@ -25,6 +25,10 @@ import subprocess
 import sys
 
 import pytest
+# Long-running (VERDICT r3 item 9): excluded from the fast core;
+# run with the full suite or -m slow.
+pytestmark = pytest.mark.slow
+
 
 REF_SRC = pathlib.Path("/root/reference")
 BUILD_DIR = pathlib.Path("/tmp/spmv-ref-diff-build")

@@ -50,6 +50,7 @@ def test_poisson2d_row_stats(reference_poisson2d):
     assert int(mm.row_lengths().sum()) == 2417
 
 
+@pytest.mark.slow
 def test_poisson2d_device_paths_match_reference(reference_poisson2d):
     """fp64 device (XLA) and Pallas-interpret paths vs the reference's
     expected product, same l2 gate as test_csr-matrix.cpp:105-116."""

@@ -60,6 +60,7 @@ def test_device_xla_path_matches_host():
 
 
 @pytest.mark.parametrize("window_rows", [1, 2, 16])
+@pytest.mark.slow
 def test_pallas_interpret_matches_xla(window_rows):
     mm = poisson2d(30, 40)
     w = WellMatrix.from_matrix_market(mm, window_rows=window_rows)
@@ -152,6 +153,7 @@ def test_sigma_sort_reduces_fill():
     assert ws.num_entries == w0.num_entries
 
 
+@pytest.mark.slow
 def test_segmented_mode_matches_whole_x():
     """Segmented WELL (sliding x segment) vs whole-x mode and host."""
     import jax.numpy as jnp
@@ -232,6 +234,7 @@ def test_segmented_spmm_xla_path():
 
 
 @pytest.mark.parametrize("b_out", [2, 4])
+@pytest.mark.slow
 def test_blocks_per_out_folding(b_out):
     """Multiple 8-group blocks folded into one output tile."""
     import jax.numpy as jnp
@@ -253,6 +256,7 @@ def test_blocks_per_out_folding(b_out):
     np.testing.assert_allclose(y2, w.spmv(x), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_spmm_interpret():
     from spmv_tpu.ops.pallas_kernels import well_spmm
 
@@ -275,6 +279,7 @@ def test_pallas_spmm_interpret():
     np.testing.assert_allclose(Y2, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_spmm_segmented_folded_blocks():
     """Segmented SpMM with folded output blocks (blocks_per_out>1) and
     a spill remainder — the large-matrix configuration."""

@@ -65,6 +65,7 @@ def test_device_xla_matches_host(name, mm):
 
 
 @pytest.mark.parametrize("name,mm", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_pallas_interpret_matches_host(name, mm):
     w = WellCwMatrix.from_matrix_market(mm)
     A = DeviceWellCw.from_host(w, dtype=jnp.float32)
@@ -78,6 +79,7 @@ def test_pallas_interpret_matches_host(name, mm):
     np.testing.assert_allclose(got / scale, want / scale, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spmm_interpret_and_xla():
     mm = random_sparse(500, 400, 9, seed=5)
     w = WellCwMatrix.from_matrix_market(mm)
@@ -210,6 +212,7 @@ def test_simulation_mode_runs():
     assert total > 0
 
 
+@pytest.mark.slow
 def test_fast_spmv_dispatch():
     from spmv_tpu.ops.spmv import fast_spmv
 
@@ -232,6 +235,7 @@ def _merged_case():
     return banded_random(16384, 512, 6, seed=20)
 
 
+@pytest.mark.slow
 def test_merged_layout_selected_and_matches():
     mm = _merged_case()
     w = WellCwMatrix.from_matrix_market(mm)
@@ -259,6 +263,7 @@ def test_merged_layout_selected_and_matches():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_merged_spmm_matches():
     mm = _merged_case()
     w = WellCwMatrix.from_matrix_market(mm)
@@ -277,6 +282,7 @@ def test_merged_spmm_matches():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_merged_fallback_on_forced_chunks_per_step():
     # an explicit chunks_per_step opts out of the merged layout and
     # must still agree

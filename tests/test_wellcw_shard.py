@@ -48,6 +48,7 @@ CASES = [
 
 @pytest.mark.parametrize("name,mm,expect_exchange", CASES,
                          ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_sharded_matches_dense(mesh, name, mm, expect_exchange):
     m = CsrMatrix.from_matrix_market(mm)
     A = shard_wellcw_halo(m, 8, mesh=mesh)
@@ -70,6 +71,7 @@ def test_comm_volume_matches_model(mesh):
     assert A.comm_elements_padded >= A.comm_elements_exact
 
 
+@pytest.mark.slow
 def test_forced_all2all_bitwise_matches_neighbor(mesh):
     # the exchange only changes how halo values ARRIVE, not which
     # values feed which cell — the two strategies must agree exactly
@@ -88,6 +90,7 @@ def test_forced_all2all_bitwise_matches_neighbor(mesh):
     np.testing.assert_array_equal(yn, ya)
 
 
+@pytest.mark.slow
 def test_sharded_cg(mesh):
     mm = poisson2d(48, 48)
     m = CsrMatrix.from_matrix_market(mm)
