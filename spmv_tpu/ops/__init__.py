@@ -27,6 +27,13 @@ from spmv_tpu.ops.amg import (
     block_amg_preconditioner,
     smoothed_aggregation_setup,
 )
+from spmv_tpu.ops.fused_vcycle import (
+    FusedVcycle,
+    fused_block_setup,
+    fused_vcycle,
+    fused_vcycle_device,
+    fused_vcycle_preconditioner,
+)
 from spmv_tpu.ops.krylov import chebyshev, gmres, lanczos_bounds
 from spmv_tpu.ops.refine import RefineResult, iterative_refinement
 from spmv_tpu.ops.pallas_kernels import dia_spmv, dia_spmv_padded, well_spmv, well_spmv_padded
@@ -53,4 +60,6 @@ __all__ = [
     "AmgHierarchy",
     "amg_solve", "block_aggregation_setup",
     "block_amg_preconditioner",
+    "FusedVcycle", "fused_block_setup", "fused_vcycle",
+    "fused_vcycle_device", "fused_vcycle_preconditioner",
 ]
