@@ -109,6 +109,21 @@ def test_pallas_interpret_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("kb", [1, 3, 5])
+def test_pallas_odd_blocks_per_step(kb):
+    # The kernels pairwise tree-sum their kb dots (probe 57); odd kb
+    # leaves a lone carry at some tree levels — cover that edge.
+    mm = _block_structured(3, 4, 3, seed=11)
+    b = BsrMatrix.from_matrix_market(mm)
+    A = DeviceBsr.from_host(b, dtype=jnp.float32, blocks_per_step=kb)
+    X = np.random.default_rng(12).standard_normal(
+        (mm.num_columns, 4)
+    ).astype(np.float32)
+    Y = np.asarray(bsr_spmm(A, jnp.asarray(X), interpret=True))
+    np.testing.assert_allclose(Y, b.spmm(X.astype(np.float64)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_bf16_blocks_accumulate_f32():
     # bf16 halves the block stream and runs the MXU at its bf16 rate
     # (probe 54); partial sums must still be f32 — the kernel promotes
