@@ -52,6 +52,32 @@ import sys
 import time
 import traceback
 
+
+def _tune_malloc() -> None:
+    """Keep freed large buffers reusable instead of munmapping them.
+
+    On this host, first-touch page faults cost ~5 ms/MB — an order of
+    magnitude above normal — so every fresh mmap'd numpy temporary
+    (glibc mmaps allocations over the default 128 KB threshold and
+    returns them to the OS on free) pays the fault cost again.  The
+    big host-side setups (block_random + format conversion allocate
+    multi-GB of short-lived arrays) sped up ~2x with malloc told to
+    serve large blocks from the reusable heap.  Benchmark-process
+    policy only; the library never touches global malloc state.
+    """
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:  # noqa: BLE001 — non-glibc hosts: keep defaults
+        pass
+
+
+_tune_malloc()
+
 # In-place (aliased x/y, probe 24/25) prefers 256-row tiles for SpMV;
 # SpMM prefers 512 (bigger DMAs against its fatter window).  bf16
 # needs 1024: its bytes-per-tile halve, so the fixed per-tile costs

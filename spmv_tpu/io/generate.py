@@ -44,8 +44,9 @@ def from_coo_arrays(
         num_rows=int(num_rows),
         num_columns=int(num_columns),
         num_entries=int(rows0.size),
-        rows_1based=(rows0 + 1).astype(INDEX_DTYPE),
-        cols_1based=(np.asarray(cols0) + 1).astype(INDEX_DTYPE),
+        rows_1based=(rows0 + 1).astype(INDEX_DTYPE, copy=False),
+        cols_1based=(np.asarray(cols0) + 1).astype(INDEX_DTYPE,
+                                                   copy=False),
         values=np.asarray(values, dtype=VALUE_DTYPE),
     )
 
@@ -58,9 +59,12 @@ def poisson2d(nx: int, ny: int = None) -> MatrixMarket:
     if ny is None:
         ny = nx
     n = nx * ny
-    idx = np.arange(n, dtype=np.int64)
-    ix = idx % nx
-    iy = idx // nx
+    # int32 indices: nnz-length arrays dominate generation cost at
+    # large n (first-touch page faults; see bench.py), and any grid
+    # this generator builds fits int32.
+    idx = np.arange(n, dtype=np.int32)
+    ix = idx % np.int32(nx)
+    iy = idx // np.int32(nx)
 
     rows = [idx]
     cols = [idx]
@@ -69,7 +73,7 @@ def poisson2d(nx: int, ny: int = None) -> MatrixMarket:
     def neighbor(mask, offset):
         r = idx[mask]
         rows.append(r)
-        cols.append(r + offset)
+        cols.append(r + np.int32(offset))
         vals.append(np.full(r.size, -1.0))
 
     neighbor(ix > 0, -1)
@@ -181,9 +185,15 @@ def block_random(
     bj = rng.integers(0, nbc, size=bi.size, dtype=np.int64)
     key = np.unique(bi * nbc + bj)
     bi, bj = key // nbc, key % nbc
-    within = np.arange(block * block, dtype=np.int64)
-    rows = (bi[:, None] * block + within[None] // block).reshape(-1)
-    cols = (bj[:, None] * block + within[None] % block).reshape(-1)
+    # int32 expansion: the nnz-length index arrays dominate the cost
+    # of generation on hosts where first-touch page faults are
+    # expensive; row/col values fit int32 for any matrix this
+    # generator is used for.
+    within = np.arange(block * block, dtype=np.int32)
+    rows = (bi[:, None].astype(np.int32) * np.int32(block)
+            + (within[None] // block)).reshape(-1)
+    cols = (bj[:, None].astype(np.int32) * np.int32(block)
+            + (within[None] % block)).reshape(-1)
     vals = rng.standard_normal(rows.size)
     return from_coo_arrays(num_rows, num_columns, rows, cols, vals)
 

@@ -29,7 +29,7 @@ import numpy as np
 
 from spmv_tpu.errors import MatrixError
 from spmv_tpu.io.matrix_market import MatrixMarket, VALUE_DTYPE
-from spmv_tpu.models._convert import sorted_entries_0based
+from spmv_tpu.models._convert import require_coordinate
 from spmv_tpu.models.csr import CsrMatrix
 
 __all__ = ["BsrMatrix", "BLOCK"]
@@ -55,7 +55,14 @@ class BsrMatrix:
         cls, mm: MatrixMarket, max_fill: float | None = None,
         block_rows: int | str = BLOCK,
     ) -> "BsrMatrix":
-        rows, cols, vals, row_ptr = sorted_entries_0based(mm)
+        # No row-major sort: the occupancy-bincount _build is
+        # order-invariant (entries land in content-addressed bins), so
+        # the nnz-sized radix sort other formats need (~10 s at 67M
+        # entries) is pure waste here.
+        require_coordinate(mm)
+        rows = mm.rows_1based.astype(np.int32, copy=False) - 1
+        cols = mm.cols_1based.astype(np.int32, copy=False) - 1
+        vals = np.asarray(mm.values, dtype=VALUE_DTYPE)
         return cls._build(
             mm.num_rows, mm.num_columns, rows, cols, vals, max_fill,
             block_rows,
@@ -78,17 +85,55 @@ class BsrMatrix:
         )
 
     @staticmethod
+    def block_counts(rows, cols, num_columns) -> dict:
+        """{block height: occupied (rows//bh, cols//128) block count}
+        for every height 128/64/32/16/8.
+
+        One bincount occupancy pass at the finest height (8); every
+        coarser height's block count is an any-reduction over groups
+        of fine block-rows — identical to unique((rows//bh, cols//128))
+        per height, without five nnz-sized sorts (the old path cost
+        ~40 s at 67M entries; this is ~1 s)."""
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        ncb = num_columns // BLOCK + 1
+        if rows.size == 0:
+            return {bh: 0 for bh in (128, 64, 32, 16, 8)}
+        # Pad fine block-rows to a multiple of 128//8 so every height
+        # reshapes cleanly.
+        nbr8 = (int(rows.max()) // 8 + 1 + 15) // 16 * 16
+        nbins = nbr8 * ncb
+        if nbins > (1 << 28):  # degenerate hyper-sparse shapes
+            rows = rows.astype(np.int64, copy=False)
+            cols = cols.astype(np.int64, copy=False)
+            return {
+                bh: int(np.unique(
+                    (rows // bh) * ncb + cols // BLOCK).size)
+                for bh in (128, 64, 32, 16, 8)
+            }
+        # nbins <= 2^28 means the key fits int32: keep every
+        # nnz-length temporary 4-byte — on this host first-touch page
+        # faults dominate (see bench.py), so bytes allocated ≈ time.
+        r32 = rows.astype(np.int32, copy=False)
+        c32 = cols.astype(np.int32, copy=False)
+        key8 = (r32 >> 3) * np.int32(ncb) + (c32 >> 7)
+        occ = np.bincount(key8, minlength=nbins).astype(bool)
+        occ = occ.reshape(nbr8, ncb)
+        return {
+            bh: int(occ.reshape(nbr8 // (bh // 8), bh // 8, ncb)
+                    .any(1).sum())
+            for bh in (128, 64, 32, 16, 8)
+        }
+
+    @staticmethod
     def choose_block_rows(rows, cols, num_columns) -> int:
         """The block height (of 8..128) with the lowest storage fill
         for this sparsity pattern (stored slots per nonzero)."""
-        rows = np.asarray(rows, np.int64)
-        cols = np.asarray(cols, np.int64)
-        ncb = num_columns // BLOCK + 1
+        counts = BsrMatrix.block_counts(rows, cols, num_columns)
+        n = max(np.asarray(rows).size, 1)
         best_bh, best_fill = BLOCK, np.inf
         for bh in (128, 64, 32, 16, 8):
-            key = (rows // bh) * ncb + cols // BLOCK
-            nb = np.unique(key).size
-            fill = nb * bh * BLOCK / max(rows.size, 1)
+            fill = counts[bh] * bh * BLOCK / n
             if fill < best_fill:
                 best_bh, best_fill = bh, fill
         return best_bh
@@ -96,8 +141,8 @@ class BsrMatrix:
     @classmethod
     def _build(cls, num_rows, num_columns, rows, cols, vals, max_fill,
                block_rows=BLOCK):
-        rows = np.asarray(rows, np.int64)
-        cols = np.asarray(cols, np.int64)
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
         if block_rows == "auto":
             block_rows = cls.choose_block_rows(rows, cols, num_columns)
         bh = int(block_rows)
@@ -107,10 +152,28 @@ class BsrMatrix:
                 f"got {block_rows!r}"
             )
         nbr = max(-(-num_rows // bh), 1)
-        bi = rows // bh
-        bj = cols // BLOCK
-        key = bi * (num_columns // BLOCK + 1) + bj
-        uniq, inv = np.unique(key, return_inverse=True)
+        ncb_p = num_columns // BLOCK + 1
+        nbins = nbr * ncb_p
+        # Occupancy bincount + cumsum lookup table replaces
+        # np.unique(key, return_inverse=True): uniq is the ascending
+        # occupied-bin list, inv a gather through the table — same
+        # result, no nnz-sized sort (~25 s saved at 67M entries).
+        # int32 temporaries throughout: first-touch page faults are
+        # ~5 ms/MB on the target host, so halving bytes halves wall
+        # time (the key fits int32 whenever nbins <= 2^28).
+        if vals.size and nbins <= (1 << 28):
+            r32 = rows.astype(np.int32, copy=False)
+            c32 = cols.astype(np.int32, copy=False)
+            key = (r32 // np.int32(bh)) * np.int32(ncb_p) + (c32 >> 7)
+            occ = np.bincount(key, minlength=nbins).astype(bool)
+            uniq = np.flatnonzero(occ)
+            lut = np.cumsum(occ, dtype=np.int32) - np.int32(1)
+            inv = lut[key]
+        else:
+            rows = rows.astype(np.int64, copy=False)
+            cols = cols.astype(np.int64, copy=False)
+            key = (rows // bh) * ncb_p + cols // BLOCK
+            uniq, inv = np.unique(key, return_inverse=True)
         nb = uniq.size
         if max_fill is not None and vals.size:
             fill = nb * bh * BLOCK / vals.size
@@ -120,10 +183,28 @@ class BsrMatrix:
                     f"{max_fill}; the matrix has no dense block "
                     "structure — use WELL/CSR instead"
                 )
-        blocks = np.zeros((max(nb, 1), bh, BLOCK), dtype=VALUE_DTYPE)
-        np.add.at(
-            blocks, (inv, rows % bh, cols % BLOCK), vals
-        )
+        vals_arr = np.asarray(vals)
+        if vals_arr.size and np.issubdtype(vals_arr.dtype, np.floating):
+            # One weighted-bincount pass sums duplicates into the
+            # dense blocks (np.add.at is ~6x slower at this size).
+            # int64 remainder is the hidden cost here: a bitwise mask
+            # when bh is a power of two (8/16/32/64/128; not 24 etc.)
+            # is ~5x cheaper than %.
+            rrem = rows & (bh - 1) if bh & (bh - 1) == 0 else rows % bh
+            cell = max(nb, 1) * bh * BLOCK
+            idx_t = np.int32 if cell < (1 << 31) else np.int64
+            flat = (inv.astype(idx_t, copy=False) * idx_t(bh * BLOCK)
+                    + rrem.astype(idx_t, copy=False) * idx_t(BLOCK)
+                    + (cols & (BLOCK - 1)))
+            blocks = np.bincount(
+                flat, weights=vals_arr, minlength=max(nb, 1) * bh * BLOCK
+            ).astype(VALUE_DTYPE, copy=False).reshape(
+                max(nb, 1), bh, BLOCK)
+        else:
+            blocks = np.zeros((max(nb, 1), bh, BLOCK), dtype=VALUE_DTYPE)
+            np.add.at(
+                blocks, (inv, rows % bh, cols % BLOCK), vals
+            )
         u_bi = (uniq // (num_columns // BLOCK + 1)).astype(np.int64)
         u_bj = (uniq % (num_columns // BLOCK + 1)).astype(np.int32)
         if nb == 0:

@@ -28,7 +28,7 @@ import numpy as np
 
 from spmv_tpu.errors import MatrixError
 from spmv_tpu.io.matrix_market import MatrixMarket, VALUE_DTYPE
-from spmv_tpu.models._convert import sorted_entries_0based
+from spmv_tpu.models._convert import require_coordinate
 from spmv_tpu.models.csr import CsrMatrix
 
 __all__ = ["DiaMatrix"]
@@ -49,7 +49,13 @@ class DiaMatrix:
     def from_matrix_market(
         cls, mm: MatrixMarket, max_diagonals: int | None = None
     ) -> "DiaMatrix":
-        rows, cols, vals, _ = sorted_entries_0based(mm)
+        # No row-major sort: _from_coo is order-invariant (offsets and
+        # data cells are content-addressed), so the nnz-sized sort is
+        # pure setup waste at large nnz (~10 s at 84M entries).
+        require_coordinate(mm)
+        rows = mm.rows_1based.astype(np.int32, copy=False) - 1
+        cols = mm.cols_1based.astype(np.int32, copy=False) - 1
+        vals = np.asarray(mm.values, dtype=VALUE_DTYPE)
         return cls._from_coo(
             mm.num_rows, mm.num_columns, rows, cols, vals, max_diagonals
         )
@@ -79,8 +85,54 @@ class DiaMatrix:
     @classmethod
     def _from_coo(cls, num_rows, num_columns, rows, cols, vals,
                   max_diagonals):
-        rows = np.asarray(rows, dtype=np.int64)
-        cols = np.asarray(cols, dtype=np.int64)
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        nspan = num_rows + num_columns - 1
+        fast = (
+            vals.size
+            and np.issubdtype(vals.dtype, np.floating)
+            and nspan <= (1 << 28)
+            and max(num_rows, num_columns) < (1 << 31)
+        )
+        if fast:
+            # Occupancy bincount over the shifted-diagonal axis
+            # replaces unique + searchsorted + add.at — same results,
+            # no nnz-sized sorts, int32 temporaries (first-touch page
+            # faults price every nnz-sized buffer on the target host;
+            # see bench.py).  Duplicate (i, j) entries sum, matching
+            # the general sparse convention.
+            r32 = rows.astype(np.int32, copy=False)
+            c32 = cols.astype(np.int32, copy=False)
+            shifted = (c32 - r32) + np.int32(num_rows - 1)
+            occ = np.bincount(shifted, minlength=nspan).astype(bool)
+            offsets = np.flatnonzero(occ) - (num_rows - 1)
+            if (max_diagonals is not None
+                    and offsets.size > max_diagonals):
+                raise MatrixError(
+                    f"matrix has {offsets.size} distinct diagonals "
+                    f"(> max_diagonals={max_diagonals}); DIA would be "
+                    f"inefficient — use CSR/ELL/hybrid instead"
+                )
+            lut = np.cumsum(occ, dtype=np.int32) - np.int32(1)
+            k = lut[shifted]
+            cells = offsets.size * num_rows
+            idx_t = np.int32 if cells < (1 << 31) else np.int64
+            flat = (k.astype(idx_t, copy=False) * idx_t(num_rows)
+                    + r32.astype(idx_t, copy=False))
+            data = np.bincount(
+                flat, weights=vals, minlength=max(cells, 1)
+            ).astype(VALUE_DTYPE, copy=False)[:cells].reshape(
+                offsets.size, num_rows)
+            return cls(
+                num_rows=int(num_rows),
+                num_columns=int(num_columns),
+                num_entries=int(rows.size),
+                offsets=offsets,
+                data=data,
+            )
+        rows = rows.astype(np.int64, copy=False)
+        cols = cols.astype(np.int64, copy=False)
         offs_per_entry = cols - rows
         offsets = np.unique(offs_per_entry)
         if max_diagonals is not None and offsets.size > max_diagonals:

@@ -67,9 +67,15 @@ def auto_format(
             f"workload must be 'spmv' or 'spmm', got {workload!r}")
     rationale: dict = {"workload": workload}
 
-    rows = mm.rows_1based.astype(np.int64) - 1
-    cols = mm.cols_1based.astype(np.int64) - 1
-    num_diags = int(np.unique(cols - rows).size)
+    # int32 throughout and bincount instead of unique-sorts: the
+    # structure statistics must stay cheap next to conversion itself
+    # (first-touch page faults price every nnz-sized temporary on the
+    # target host — see bench.py).
+    rows = mm.rows_1based.astype(np.int32, copy=False) - 1
+    cols = mm.cols_1based.astype(np.int32, copy=False) - 1
+    diag = (cols - rows) + np.int32(mm.num_rows - 1)
+    num_diags = int(np.count_nonzero(np.bincount(
+        diag, minlength=mm.num_rows + mm.num_columns - 1)))
     dia_fill = (
         num_diags * mm.num_rows / max(mm.num_entries, 1)
     )
@@ -86,11 +92,12 @@ def auto_format(
         # gather formats once fill is reasonable.
         from spmv_tpu.models.bsr import BLOCK, BsrMatrix
 
-        bh = BsrMatrix.choose_block_rows(rows, cols, mm.num_columns)
-        nb = np.unique(
-            (rows // bh) * (mm.num_columns // BLOCK + 1)
-            + cols // BLOCK
-        ).size
+        counts = BsrMatrix.block_counts(rows, cols, mm.num_columns)
+        bh = min(
+            (128, 64, 32, 16, 8),
+            key=lambda h: (counts[h] * h * BLOCK, -h),
+        )
+        nb = counts[bh]
         bsr_fill = nb * bh * BLOCK / max(mm.num_entries, 1)
         rationale["bsr_fill"] = bsr_fill
         rationale["bsr_block_rows"] = bh
