@@ -3,8 +3,10 @@
 from spmv_tpu.ops.spmv import spmv, spmv_padded, spmm, fast_spmv
 from spmv_tpu.ops.triad import triad
 from spmv_tpu.ops.solvers import (
+    batched_conjugate_gradient,
     bicgstab,
     conjugate_gradient,
+    dia_batched_conjugate_gradient,
     dia_conjugate_gradient,
     extract_diagonal,
     jacobi_preconditioner,
@@ -46,6 +48,7 @@ from spmv_tpu.ops.traffic import (
 __all__ = [
     "spmv", "spmv_padded", "spmm", "fast_spmv", "triad",
     "conjugate_gradient", "preconditioned_conjugate_gradient",
+    "batched_conjugate_gradient", "dia_batched_conjugate_gradient",
     "dia_conjugate_gradient",
     "jacobi_preconditioner", "extract_diagonal",
     "dia_spmv", "dia_spmv_padded", "well_spmv", "well_spmv_padded",

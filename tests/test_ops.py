@@ -216,3 +216,122 @@ def test_dia_conjugate_gradient_padded_fast_path():
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(res2.x), x_true,
                                rtol=1e-6, atol=1e-8)
+
+
+def test_batched_cg_matches_per_column():
+    from spmv_tpu.ops import batched_conjugate_gradient
+
+    mm = poisson2d(16, 16)
+    host = CsrMatrix.from_matrix_market(mm)
+    _, dev = _make(mm, "csr")
+    rng = np.random.default_rng(11)
+    X_true = rng.standard_normal((mm.num_rows, 3))
+    X_true[:, 1] *= 100.0          # different scales per column
+    B = np.stack([host.spmv(X_true[:, j]) for j in range(3)], axis=1)
+
+    res = jax.jit(
+        lambda B: batched_conjugate_gradient(
+            lambda V: spmm(dev, V), B, tol=1e-12, max_iterations=2000
+        )
+    )(jnp.asarray(B))
+    assert res.x.shape == (mm.num_rows, 3)
+    assert res.residual_norm.shape == (3,)
+    assert res.iterations.shape == (3,)
+    np.testing.assert_allclose(np.asarray(res.x), X_true,
+                               rtol=1e-6, atol=1e-6)
+    # per-column recurrences == k separate CG runs (same alpha/beta
+    # sequences up to fp reordering): iteration counts agree closely
+    for j in range(3):
+        single = conjugate_gradient(
+            lambda v: spmv(dev, v), jnp.asarray(B[:, j]),
+            tol=1e-12, max_iterations=2000)
+        assert abs(int(res.iterations[j]) - int(single.iterations)) <= 1
+
+
+def test_batched_cg_frozen_and_zero_columns():
+    from spmv_tpu.ops import batched_conjugate_gradient
+
+    mm = poisson2d(12, 12)
+    host = CsrMatrix.from_matrix_market(mm)
+    _, dev = _make(mm, "csr")
+    rng = np.random.default_rng(12)
+    x_true = rng.standard_normal(mm.num_rows)
+    b = host.spmv(x_true)
+    # column 0: real system; column 1: zero RHS (never active)
+    B = np.stack([b, np.zeros_like(b)], axis=1)
+
+    res = batched_conjugate_gradient(
+        lambda V: spmm(dev, V), jnp.asarray(B),
+        tol=1e-10, max_iterations=2000)
+    np.testing.assert_allclose(np.asarray(res.x[:, 0]), x_true,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.x[:, 1]), 0.0)
+    assert int(res.iterations[1]) == 0
+    assert int(res.iterations[0]) > 0
+
+
+def test_batched_cg_jacobi_and_replacement():
+    from spmv_tpu.ops import (
+        batched_conjugate_gradient,
+        extract_diagonal,
+        jacobi_preconditioner,
+    )
+
+    mm = poisson2d(14, 14)
+    host = CsrMatrix.from_matrix_market(mm)
+    _, dev = _make(mm, "csr")
+    rng = np.random.default_rng(13)
+    X_true = rng.standard_normal((mm.num_rows, 2))
+    B = np.stack([host.spmv(X_true[:, j]) for j in range(2)], axis=1)
+
+    minv = jacobi_preconditioner(
+        jnp.asarray(extract_diagonal(host))[:, None])
+    res = batched_conjugate_gradient(
+        lambda V: spmm(dev, V), jnp.asarray(B), preconditioner=minv,
+        tol=1e-12, max_iterations=2000, recompute_every=10)
+    np.testing.assert_allclose(np.asarray(res.x), X_true,
+                               rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        batched_conjugate_gradient(
+            lambda V: spmm(dev, V), jnp.asarray(B),
+            recompute_every=-1)
+
+
+def test_dia_batched_cg_paths():
+    from spmv_tpu.models import DiaMatrix
+    from spmv_tpu.models.device import DeviceDia
+    from spmv_tpu.ops import dia_batched_conjugate_gradient, extract_diagonal
+
+    mm = poisson2d(16, 16)
+    host = DiaMatrix.from_matrix_market(mm)
+    A = DeviceDia.from_host(host)
+    rng = np.random.default_rng(14)
+    X_true = rng.standard_normal((mm.num_rows, 3))
+    B = np.stack([host.spmv(X_true[:, j]) for j in range(3)], axis=1)
+
+    # padded Pallas layout (interpret mode)
+    res = jax.jit(
+        lambda B: dia_batched_conjugate_gradient(
+            A, B, tol=1e-12, max_iterations=2000, interpret=True,
+            path="pallas",
+        )
+    )(jnp.asarray(B))
+    assert res.x.shape == (mm.num_rows, 3)
+    np.testing.assert_allclose(np.asarray(res.x), X_true,
+                               rtol=1e-6, atol=1e-6)
+
+    # Jacobi + residual replacement through the padded layout
+    res2 = dia_batched_conjugate_gradient(
+        A, jnp.asarray(B), tol=1e-12, max_iterations=2000,
+        interpret=True, path="pallas",
+        jacobi_diag=extract_diagonal(host), recompute_every=25)
+    np.testing.assert_allclose(np.asarray(res2.x), X_true,
+                               rtol=1e-6, atol=1e-6)
+
+    # auto path on a small matrix routes to the fused XLA formulation
+    res3 = dia_batched_conjugate_gradient(
+        A, jnp.asarray(B), tol=1e-12, max_iterations=2000,
+        jacobi_diag=extract_diagonal(host))
+    np.testing.assert_allclose(np.asarray(res3.x), X_true,
+                               rtol=1e-6, atol=1e-6)
