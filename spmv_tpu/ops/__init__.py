@@ -2,6 +2,11 @@
 
 from spmv_tpu.ops.spmv import spmv, spmv_padded, spmm, fast_spmv
 from spmv_tpu.ops.triad import triad
+from spmv_tpu.ops.eigen import (
+    EigResult,
+    dia_eigsh,
+    lobpcg,
+)
 from spmv_tpu.ops.solvers import (
     batched_conjugate_gradient,
     bicgstab,
@@ -49,6 +54,7 @@ __all__ = [
     "spmv", "spmv_padded", "spmm", "fast_spmv", "triad",
     "conjugate_gradient", "preconditioned_conjugate_gradient",
     "batched_conjugate_gradient", "dia_batched_conjugate_gradient",
+    "lobpcg", "dia_eigsh", "EigResult",
     "dia_conjugate_gradient",
     "jacobi_preconditioner", "extract_diagonal",
     "dia_spmv", "dia_spmv_padded", "well_spmv", "well_spmv_padded",

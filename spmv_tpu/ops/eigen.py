@@ -1,0 +1,223 @@
+"""Block eigensolver: LOBPCG for SPD operators.
+
+The reference has no eigensolver layer, but the framework's solver
+family (CG/Chebyshev) already needs spectral information —
+``lanczos_bounds`` (ops/krylov.py) estimates the extremes for the
+Chebyshev interval; this module computes actual eigenpairs.  LOBPCG
+(Knyazev 2001, locally optimal block preconditioned conjugate
+gradient) is the TPU-natural choice: its per-iteration work is ONE
+block SpMM over k vectors (the 0.92-of-roofline path the batched CG
+rides, ops/solvers.py) plus small (3k, 3k) dense algebra that lives
+happily on the MXU, and its block Rayleigh-Ritz needs no
+re-orthogonalization sweeps against a growing basis the way Lanczos
+does.
+
+Implementation notes (standard S-basis formulation, as in SciPy's
+``lobpcg``):
+
+- The search basis is S = [X, W, P] with W the (preconditioned)
+  residual block and P the previous update direction; fixed (n, 3k)
+  shape throughout so the whole iteration jits as one
+  ``lax.while_loop``.  P is seeded with random directions at start
+  (harmless extra search space) so the basis never carries an
+  all-zero block and shapes stay static.
+- Orthonormalization is Gram-eigh based: G = S^T S, and directions
+  whose Gram eigenvalue falls below ``eps * max(w)`` are masked out
+  by zeroing their inverse square root; their Rayleigh-Ritz diagonal
+  gets a +/-BIG penalty so degenerate directions can never be
+  selected as eigenpair approximations.
+- A @ S is tracked incrementally (AX and AP update by the same
+  coefficient recurrences as X and P), so each iteration costs
+  exactly one ``matmat`` call on the W block.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["lobpcg", "dia_eigsh", "EigResult"]
+
+
+class EigResult(NamedTuple):
+    eigenvalues: jax.Array      # (k,)
+    eigenvectors: jax.Array     # (n, k), orthonormal columns
+    residual_norms: jax.Array   # (k,) ||A v - theta v||
+    iterations: jax.Array
+
+
+def _ortho_coeffs(G: jax.Array, eps: float):
+    """Inverse-sqrt coefficients for a Gram matrix, masking the
+    degenerate directions.  Returns (Vinv (m, m), mask (m,))."""
+    w, V = jnp.linalg.eigh(G)
+    wmax = jnp.maximum(w[-1], jnp.asarray(1e-30, G.dtype))
+    mask = w > eps * wmax
+    inv_sqrt = jnp.where(mask, 1.0 / jnp.sqrt(jnp.where(mask, w, 1.0)),
+                         0.0)
+    return V * inv_sqrt[None, :], mask
+
+
+def lobpcg(
+    matmat: Callable[[jax.Array], jax.Array],
+    X0: jax.Array,
+    preconditioner: Callable[[jax.Array], jax.Array] = None,
+    largest: bool = False,
+    tol: float = 1e-6,
+    max_iterations: int = 200,
+    gram_eps: float = None,
+) -> EigResult:
+    """k extreme eigenpairs of the SPD operator behind ``matmat``.
+
+    ``X0`` is the (n, k) starting block (e.g. pseudorandom — see
+    :func:`dia_eigsh`); ``largest`` selects the top instead of the
+    bottom of the spectrum.  Convergence: every column satisfies
+    ``||A v - theta v|| <= tol * max(max_j |theta_j|, 1)`` — scaled by
+    the BLOCK's largest Rayleigh quotient (an operator-norm proxy),
+    because the attainable residual floor of the Gram-based basis
+    scales with ``||A||``.  ``matmat`` may be
+    a local SpMM or a sharded (shard_map) operator, exactly like the
+    solver layer's matvecs.
+
+    Precision: eigenvalue error is ~``eps * ||A||`` ABSOLUTE — in f32
+    on TPU the smallest eigenvalues of a 65k-row Laplacian (3e-4
+    against ||A|| ~ 8) come back to ~0.3% relative, measured; use f64
+    (CPU) when the bottom of the spectrum must be tight, and pair
+    with a strong preconditioner (e.g. ``amg_preconditioner`` vmapped
+    over columns — see tests/test_eigen.py) on fine meshes, where the
+    unpreconditioned block iteration crawls through the clustered low
+    end.
+    """
+    X0 = jnp.asarray(X0)
+    n, k = X0.shape
+    dtype = X0.dtype
+    if gram_eps is None:
+        # The degenerate-direction mask must sit WELL above the
+        # working precision's epsilon: a fixed 1e-10 is fine in f64
+        # (~450 eps) but far below f32's eps=1.2e-7, where it keeps
+        # numerically-garbage basis directions and the iteration
+        # diverges (measured: 1e19-scale "eigenvalues" on TPU f32).
+        gram_eps = float(np.finfo(np.dtype(dtype)).eps) * 1e3
+    sign = -1.0 if largest else 1.0
+
+    # Orthonormalize X0 and seed P with random directions so the
+    # (n, 3k) basis has full column count from step one.
+    cX, _ = _ortho_coeffs(X0.T @ X0, gram_eps)
+    X = X0 @ cX
+    key = jax.random.PRNGKey(0)
+    P = jax.random.normal(key, (n, k), dtype)
+    AX = matmat(X)
+    AP = matmat(P)
+    theta0 = jnp.einsum("nk,nk->k", X, AX)
+
+    def body(state):
+        X, AX, P, AP, _theta, _res, it = state
+        theta = jnp.einsum("nk,nk->k", X, AX)
+        R = AX - X * theta[None, :]
+        W = preconditioner(R) if preconditioner is not None else R
+        # Per-column normalization of the W and P blocks conditions
+        # the Gram matrix (their natural scales shrink toward zero as
+        # the iteration converges).
+        def _colnorm(B):
+            s = jnp.sqrt(jnp.einsum("nk,nk->k", B, B))
+            return B / jnp.maximum(s, jnp.asarray(1e-30, dtype))[None]
+
+        W = _colnorm(W)
+        AW = matmat(W)
+        Pn = jnp.sqrt(jnp.einsum("nk,nk->k", P, P))
+        Ps = jnp.maximum(Pn, jnp.asarray(1e-30, dtype))[None, :]
+
+        S = jnp.concatenate([X, W, P / Ps], axis=1)     # (n, 3k)
+        AS = jnp.concatenate([AX, AW, AP / Ps], axis=1)
+        G = S.T @ S
+        Vinv, mask = _ortho_coeffs(G, gram_eps)
+        H = Vinv.T @ (S.T @ AS) @ Vinv
+        H = 0.5 * (H + H.T)
+        # Degenerate directions must sort AWAY from the selected end.
+        # The penalty is spectrum-scaled (2 ||H||_F >= 2 ||H||_2): an
+        # absolute constant like 1e30 would wreck eigh's accuracy for
+        # every OTHER eigenvalue (LAPACK's error is relative to ||H||).
+        pen = 2.0 * jnp.sqrt(jnp.sum(H * H)) + 1.0
+        H = H + jnp.diag(jnp.where(mask, 0.0, sign * pen))
+        evals, C = jnp.linalg.eigh(sign * H)
+        # eigh sorts ascending: with sign applied, the first k columns
+        # are the wanted end of the spectrum.
+        coeff = Vinv @ C[:, :k]                          # S-basis
+        theta_new = sign * evals[:k]
+
+        X_new = S @ coeff
+        AX_new = AS @ coeff
+        # P spans only the W/P contribution of the update (classical
+        # LOBPCG three-term recurrence).
+        coeff_wp = coeff.at[:k, :].set(0.0)
+        P_new = S @ coeff_wp
+        AP_new = AS @ coeff_wp
+
+        R_new = AX_new - X_new * theta_new[None, :]
+        res = jnp.sqrt(jnp.einsum("nk,nk->k", R_new, R_new))
+        return (X_new, AX_new, P_new, AP_new, theta_new, res, it + 1)
+
+    def cond(state):
+        _X, _AX, _P, _AP, theta, res, it = state
+        # Block-wide spectral scale: the attainable residual floor of
+        # the Gram-based basis scales with the operator norm, not with
+        # each column's own (possibly tiny) Rayleigh quotient — a
+        # per-column |theta_j| scale would demand unattainable
+        # absolute residuals from the smallest eigenpair of an
+        # ill-conditioned operator.
+        scale = jnp.maximum(jnp.max(jnp.abs(theta)), 1.0)
+        return jnp.logical_and(
+            jnp.any(res > tol * scale), it < max_iterations
+        )
+
+    res0 = jnp.full((k,), jnp.inf, dtype)
+    state = (X, AX, P, AP, theta0, res0,
+             jnp.array(0, jnp.int32))
+    X, AX, P, AP, theta, res, it = jax.lax.while_loop(cond, body, state)
+    # One final Rayleigh-quotient pass on the returned block.
+    theta = jnp.einsum("nk,nk->k", X, AX)
+    R = AX - X * theta[None, :]
+    res = jnp.sqrt(jnp.einsum("nk,nk->k", R, R))
+    order = jnp.argsort(-theta if largest else theta)
+    return EigResult(
+        eigenvalues=theta[order],
+        eigenvectors=X[:, order],
+        residual_norms=res[order],
+        iterations=it,
+    )
+
+
+def dia_eigsh(
+    A,
+    k: int = 4,
+    which: str = "smallest",
+    preconditioner: Callable[[jax.Array], jax.Array] = None,
+    tol: float = 1e-6,
+    max_iterations: int = 200,
+    seed: int = 0,
+    dtype=None,
+) -> EigResult:
+    """k extreme eigenpairs of a symmetric DeviceDia operator.
+
+    Convenience wrapper: pseudorandom orthonormal start, XLA SpMM
+    matmat (eigenproblems live at/below residency scale — the
+    spectral information for a streaming-scale matrix comes from
+    ``lanczos_bounds``).  ``which`` is "smallest" or "largest".
+    """
+    from spmv_tpu.ops.spmv import spmm as _spmm
+
+    if which not in ("smallest", "largest"):
+        raise ValueError(
+            f"which must be 'smallest' or 'largest', got {which!r}")
+    if A.num_rows != A.num_columns:
+        raise ValueError("dia_eigsh requires a square matrix")
+    dtype = dtype or A.data.dtype
+    X0 = jax.random.normal(
+        jax.random.PRNGKey(seed), (A.num_rows, k), dtype)
+    return lobpcg(
+        lambda V: _spmm(A, V), X0, preconditioner=preconditioner,
+        largest=(which == "largest"), tol=tol,
+        max_iterations=max_iterations,
+    )
