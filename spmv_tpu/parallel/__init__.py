@@ -67,9 +67,13 @@ from spmv_tpu.parallel.dia_shard import (
     ShardedDia,
     shard_dia,
     sharded_dia_spmv,
+    sharded_dia_spmm,
     make_sharded_dia_matvec,
+    make_sharded_dia_matmat,
     stack_dia_vector,
     unstack_dia_vector,
+    stack_dia_matrix,
+    unstack_dia_matrix,
 )
 
 __all__ = [
@@ -96,9 +100,13 @@ __all__ = [
     "ShardedDia",
     "shard_dia",
     "sharded_dia_spmv",
+    "sharded_dia_spmm",
     "make_sharded_dia_matvec",
+    "make_sharded_dia_matmat",
     "stack_dia_vector",
     "unstack_dia_vector",
+    "stack_dia_matrix",
+    "unstack_dia_matrix",
     "initialize_distributed",
     "is_multi_host",
     "global_mesh",

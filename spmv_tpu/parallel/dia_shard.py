@@ -180,6 +180,102 @@ def _local_dia_spmv(data_blk, x_blk, *, offsets, halo, rows_per_shard,
     return y[None, :]
 
 
+def _local_dia_spmm(data_blk, x_blk, *, offsets, halo, rows_per_shard,
+                    num_shards, axis_name):
+    """Multi-RHS per-shard body: x_blk is (1, k, Rb) — the same
+    nearest-neighbor halo exchange and shifted-slice passes as
+    :func:`_local_dia_spmv`, with every slice broadcasting over the
+    k RHS columns, so the halo traffic and diagonal stream amortize
+    over the block exactly like the on-chip SpMM kernels."""
+    h, rb, p = halo, rows_per_shard, num_shards
+    X = x_blk[0]                # (k, Rb)
+    d = data_blk[0]             # (D, Rb)
+    nk = X.shape[0]
+
+    if h > 0 and p > 1:
+        left = jax.lax.ppermute(
+            X[:, rb - h:], axis_name,
+            perm=[(q, q + 1) for q in range(p - 1)],
+        )
+        right = jax.lax.ppermute(
+            X[:, :h], axis_name,
+            perm=[(q + 1, q) for q in range(p - 1)],
+        )
+    else:
+        left = jnp.zeros((nk, h), X.dtype)
+        right = jnp.zeros((nk, h), X.dtype)
+
+    zeros_h = jnp.zeros((nk, h), X.dtype)
+    xz = jnp.concatenate([zeros_h, X, zeros_h], axis=1)
+    Y = jnp.zeros((nk, rb), dtype=d.dtype)
+    for i, off in enumerate(offsets):
+        win = jax.lax.dynamic_slice(xz, (0, h + off), (nk, rb))
+        Y = Y + d[i][None, :] * win
+
+    if h > 0 and p > 1:
+        xe = jnp.concatenate(
+            [left, jnp.zeros((nk, rb), X.dtype), right], axis=1)
+        top = jnp.zeros((nk, h), dtype=d.dtype)
+        bot = jnp.zeros((nk, h), dtype=d.dtype)
+        for i, off in enumerate(offsets):
+            if off < 0:
+                win = jax.lax.dynamic_slice(xe, (0, h + off), (nk, h))
+                top = top + d[i][None, :h] * win
+            elif off > 0:
+                win = jax.lax.dynamic_slice(xe, (0, rb + off), (nk, h))
+                bot = bot + d[i][None, rb - h:] * win
+        Y = Y.at[:, :h].add(top)
+        Y = Y.at[:, rb - h:].add(bot)
+    return Y[None]
+
+
+def stack_dia_matrix(X, A: ShardedDia) -> jax.Array:
+    """(num_rows, k) multi-vector -> stacked (P, k, Rb) layout."""
+    X = jnp.asarray(X)
+    pad = A.stacked_size - X.shape[0]
+    return jnp.pad(X, ((0, pad), (0, 0))).T.reshape(
+        X.shape[1], A.num_shards, A.rows_per_shard).transpose(1, 0, 2)
+
+
+def unstack_dia_matrix(stacked, A: ShardedDia) -> np.ndarray:
+    s = np.asarray(stacked)           # (P, k, Rb)
+    return s.transpose(1, 0, 2).reshape(
+        s.shape[1], -1).T[: A.num_rows]
+
+
+def sharded_dia_spmm(
+    A: ShardedDia, x_stacked, mesh: Mesh, axis_name: str = AXIS_SHARDS
+):
+    """Y = A @ X in the stacked (P, k, Rb) layout."""
+    spec = P(axis_name, None, None)
+    f = jax.shard_map(
+        partial(
+            _local_dia_spmm,
+            offsets=A.offsets,
+            halo=A.halo,
+            rows_per_shard=A.rows_per_shard,
+            num_shards=A.num_shards,
+            axis_name=axis_name,
+        ),
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), spec),
+        out_specs=spec,
+    )
+    return f(A.data, x_stacked)
+
+
+def make_sharded_dia_matmat(A: ShardedDia, mesh: Mesh):
+    """Stacked-layout multi-RHS matmat closure: plugs into
+    ``batched_conjugate_gradient`` (columns on axis 1 of the stacked
+    (P, k, Rb) layout reduce/broadcast correctly — its column
+    reductions sum over all axes but 1)."""
+
+    def matmat(x_stacked):
+        return sharded_dia_spmm(A, x_stacked, mesh)
+
+    return matmat
+
+
 def sharded_dia_spmv(
     A: ShardedDia, x_stacked, mesh: Mesh, axis_name: str = AXIS_SHARDS
 ):
