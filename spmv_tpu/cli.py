@@ -105,6 +105,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "SpMV per K); keeps the reported residual "
                         "honest when the f32 recurrence drifts past "
                         "the attainable accuracy")
+    p.add_argument("--eigs", type=int, metavar="K", default=0,
+                   help="compute the K extreme eigenpairs of the "
+                        "(symmetric) matrix with block LOBPCG and "
+                        "print a JSON report (--which picks the end; "
+                        "--precondition jacobi/amg accelerates)")
+    p.add_argument("--which", choices=("smallest", "largest"),
+                   default="smallest",
+                   help="with --eigs: which end of the spectrum")
+    p.add_argument("--eigs-tol", type=float, default=1e-6,
+                   help="with --eigs: residual tolerance relative to "
+                        "the block's spectral scale")
+    p.add_argument("--eigs-maxiter", type=int, default=200,
+                   help="with --eigs: iteration cap")
     p.add_argument("--spmm", type=int, metavar="K", default=0,
                    help="with --profile: time the multi-vector product "
                         "A @ X for an (n, K) block X instead of SpMV")
@@ -268,6 +281,102 @@ def _simulate(args, out) -> None:
                            if args.verbose else 0.0),
     )
     dump_json(trace.to_json(), out)
+
+
+def _solve_eigs(args, out) -> None:
+    """--eigs K: block LOBPCG eigenpairs, JSON report on stdout."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spmv_tpu.models.device import (
+        default_value_dtype,
+        device_put_matrix,
+    )
+    from spmv_tpu.ops import lobpcg
+    from spmv_tpu.ops.eigen import EigResult  # noqa: F401 — re-export
+    from spmv_tpu.ops.solvers import (
+        extract_diagonal,
+        jacobi_preconditioner,
+    )
+    from spmv_tpu.ops.spmv import spmm
+    from spmv_tpu.utils.jsonio import dump_json
+
+    kernel = _make_kernel(args)
+    if kernel.name == "triad":
+        raise SpmvError("--eigs needs a matrix kernel, not triad")
+    kernel.init(verbose=args.verbose)
+    m = kernel.matrix
+    if m.num_rows != m.num_columns:
+        raise SpmvError("--eigs requires a square (symmetric) matrix")
+    if args.eigs >= m.num_rows:
+        raise SpmvError("--eigs K must be < the matrix dimension")
+    # Symmetric STORAGE holds one triangle; the eigenproblem needs the
+    # full operator, so expand before converting (the SpMV/simulation
+    # modes deliberately keep the reference's stored-triangle
+    # semantics — an eigensolver cannot).
+    mm = getattr(kernel, "_mm", None)
+    sym = getattr(mm, "symmetry", "general") if mm is not None else \
+        "general"
+    if sym == "skew-symmetric":
+        raise SpmvError(
+            "--eigs needs a symmetric operator; skew-symmetric "
+            "matrices have an imaginary spectrum")
+    if sym != "general":
+        m = type(m).from_matrix_market(mm.expand_symmetry())
+
+    A = device_put_matrix(m)
+    minv = None
+    if args.precondition == "jacobi":
+        diag = jnp.asarray(extract_diagonal(m),
+                           dtype=default_value_dtype())
+        minv = jacobi_preconditioner(diag[:, None])
+    elif args.precondition == "amg":
+        apply_v, _info = _amg_preconditioner_cli(kernel, m)
+        minv = jax.vmap(apply_v, in_axes=1, out_axes=1)
+    elif args.precondition != "none":
+        raise SpmvError(
+            "--eigs takes --precondition none, jacobi or amg")
+
+    X0 = jax.random.normal(
+        jax.random.PRNGKey(0), (m.num_rows, args.eigs),
+        default_value_dtype())
+
+    @jax.jit
+    def solve(X0):
+        return lobpcg(
+            lambda V: spmm(A, V), X0, preconditioner=minv,
+            largest=(args.which == "largest"), tol=args.eigs_tol,
+            max_iterations=args.eigs_maxiter,
+        )
+
+    res = solve(X0)
+    float(res.eigenvalues[0])  # fetch: the only reliable device sync
+    t0 = _time.perf_counter()
+    res = solve(X0)
+    float(res.eigenvalues[0])
+    seconds = _time.perf_counter() - t0
+
+    doc = {
+        "kernel": kernel.describe(),
+        "eigs": {
+            "k": args.eigs,
+            "which": args.which,
+            "method": "lobpcg",
+            "preconditioner": args.precondition,
+            "tolerance": args.eigs_tol,
+            "eigenvalues": [float(v) for v in
+                            np.asarray(res.eigenvalues)],
+            "residual_norms": [float(v) for v in
+                               np.asarray(res.residual_norms)],
+            "iterations": int(res.iterations),
+            "seconds": seconds,
+            "device": jax.devices()[0].platform,
+        },
+    }
+    dump_json(doc, out)
 
 
 def _solve_cg(args, out) -> None:
@@ -653,6 +762,8 @@ def main(argv=None, out=None) -> int:
             dump_json(
                 list_profile_events(args.list_profile_events or None),
                 out)
+        elif args.eigs > 0:
+            _solve_eigs(args, out)
         elif args.cg > 0:
             _solve_cg(args, out)
         elif args.profile > 0:

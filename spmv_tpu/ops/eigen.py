@@ -49,10 +49,68 @@ class EigResult(NamedTuple):
     iterations: jax.Array
 
 
+def _jacobi_eigh(H: jax.Array, sweeps: int = 12):
+    """Cyclic-Jacobi symmetric eigendecomposition for SMALL matrices.
+
+    Why not ``jnp.linalg.eigh``: on TPU in f32 its (QDWH) eigenvector
+    matrices are only ~5e-3-orthogonal with ~1e-2 residual ||HV - VW||
+    (measured; LAPACK on CPU gives ~eps) — enough to stall LOBPCG's
+    whole iteration at a ~1e-2 residual floor.  Cyclic Jacobi is
+    unconditionally stable and reaches f32 machine precision in a few
+    sweeps; for the (3k, 3k) matrices here the statically-unrolled
+    rotations are trivial work.  Returns (w, V) sorted ascending.
+    """
+    m = H.shape[0]
+    V = jnp.eye(m, dtype=H.dtype)
+    tiny = jnp.asarray(np.finfo(np.dtype(H.dtype)).tiny * 1e4, H.dtype)
+
+    def one_sweep(carry):
+        H, V = carry
+        for p in range(m - 1):
+            for q in range(p + 1, m):
+                hpp = H[p, p]
+                hqq = H[q, q]
+                hpq = H[p, q]
+                rotate = jnp.abs(hpq) > tiny
+                tau = (hqq - hpp) / jnp.where(
+                    rotate, 2.0 * hpq, jnp.asarray(1.0, H.dtype))
+                t = jnp.sign(tau) / (
+                    jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                c = jnp.where(
+                    rotate, 1.0 / jnp.sqrt(1.0 + t * t), 1.0)
+                s = jnp.where(rotate, t * c, 0.0)
+                # H <- G^T H G, V <- V G with G the (p, q) rotation
+                rp = c * H[p, :] - s * H[q, :]
+                rq = s * H[p, :] + c * H[q, :]
+                H = H.at[p, :].set(rp).at[q, :].set(rq)
+                cp = c * H[:, p] - s * H[:, q]
+                cq = s * H[:, p] + c * H[:, q]
+                H = H.at[:, p].set(cp).at[:, q].set(cq)
+                vp = c * V[:, p] - s * V[:, q]
+                vq = s * V[:, p] + c * V[:, q]
+                V = V.at[:, p].set(vp).at[:, q].set(vq)
+        return H, V
+
+    H, V = jax.lax.fori_loop(
+        0, sweeps, lambda _, c: one_sweep(c), (H, V))
+    w = jnp.diagonal(H)
+    order = jnp.argsort(w)
+    return w[order], V[:, order]
+
+
+def _small_eigh(H: jax.Array):
+    """Symmetric eigh for the solver's small matrices: LAPACK on CPU
+    (exact, fast), cyclic Jacobi elsewhere (TPU's f32 eigh is too
+    inaccurate — see :func:`_jacobi_eigh`)."""
+    if jax.default_backend() == "cpu":
+        return jnp.linalg.eigh(H)
+    return _jacobi_eigh(H)
+
+
 def _ortho_coeffs(G: jax.Array, eps: float):
     """Inverse-sqrt coefficients for a Gram matrix, masking the
     degenerate directions.  Returns (Vinv (m, m), mask (m,))."""
-    w, V = jnp.linalg.eigh(G)
+    w, V = _small_eigh(G)
     wmax = jnp.maximum(w[-1], jnp.asarray(1e-30, G.dtype))
     mask = w > eps * wmax
     inv_sqrt = jnp.where(mask, 1.0 / jnp.sqrt(jnp.where(mask, w, 1.0)),
@@ -102,6 +160,20 @@ def lobpcg(
         gram_eps = float(np.finfo(np.dtype(dtype)).eps) * 1e3
     sign = -1.0 if largest else 1.0
 
+    # Everything in this solver's own algebra (Grams, projections,
+    # basis updates) must contract at FULL f32: TPU matmuls default
+    # to bf16 MXU passes, whose ~5e-3 relative error floors the
+    # residual at ~1e-2 regardless of how accurate the small
+    # eigendecompositions are (measured; the user's matmat keeps its
+    # own precision policy).
+    with jax.default_matmul_precision("highest"):
+        return _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
+                            max_iterations, gram_eps, sign, n, k,
+                            dtype)
+
+
+def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
+                 max_iterations, gram_eps, sign, n, k, dtype):
     # Orthonormalize X0 and seed P with random directions so the
     # (n, 3k) basis has full column count from step one.
     cX, _ = _ortho_coeffs(X0.T @ X0, gram_eps)
@@ -141,14 +213,29 @@ def lobpcg(
         # every OTHER eigenvalue (LAPACK's error is relative to ||H||).
         pen = 2.0 * jnp.sqrt(jnp.sum(H * H)) + 1.0
         H = H + jnp.diag(jnp.where(mask, 0.0, sign * pen))
-        evals, C = jnp.linalg.eigh(sign * H)
+        evals, C = _small_eigh(sign * H)
         # eigh sorts ascending: with sign applied, the first k columns
         # are the wanted end of the spectrum.
         coeff = Vinv @ C[:, :k]                          # S-basis
-        theta_new = sign * evals[:k]
-
+        # Eigh EIGENVALUES are accurate everywhere, but its
+        # EIGENVECTOR matrices are only ~5e-3-orthogonal in f32 on
+        # TPU (QDWH; measured, unlike LAPACK's ~eps) — through both
+        # the whitening and the Ritz rotation that would leave X_new
+        # non-orthonormal and stall the residual at ~1e-2.  Polish
+        # the combined coefficients against the ACCURATE metric G
+        # with a Newton-Schulz inverse square root: M = coeff^T G
+        # coeff is within O(1e-2) of I, where the iteration converges
+        # quadratically using nothing but small matmuls (f32-exact).
+        M = coeff.T @ G @ coeff
+        T = jnp.eye(k, dtype=dtype)
+        eye_k = jnp.eye(k, dtype=dtype)
+        for _ in range(3):
+            T = 0.5 * T @ (3.0 * eye_k - M @ T @ T)
+        coeff = coeff @ T
+        del evals  # Ritz values are recomputed as Rayleigh quotients
         X_new = S @ coeff
         AX_new = AS @ coeff
+        theta_new = jnp.einsum("nk,nk->k", X_new, AX_new)
         # P spans only the W/P contribution of the update (classical
         # LOBPCG three-term recurrence).
         coeff_wp = coeff.at[:k, :].set(0.0)

@@ -11,6 +11,8 @@ import json
 
 import pytest
 
+import numpy as np
+
 from spmv_tpu.cli import main
 
 MTX = """%%MatrixMarket matrix coordinate real general
@@ -328,3 +330,51 @@ def test_list_profile_events_live_run():
     assert rc == 0
     doc = json.loads(text)
     assert doc["planes"], doc
+
+
+def test_eigs_mode(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--eigs", "2", "--eigs-tol", "1e-9",
+         "--eigs-maxiter", "300"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    e = doc["eigs"]
+    # fixture spectrum: {1.0} (isolated 4,4 entry) plus the 3x3
+    # tridiag(-1, 4, -1) eigenvalues 4 - 2 cos(k pi / 4)
+    want = np.sort(np.concatenate(
+        [[1.0], 4.0 - 2.0 * np.cos(np.arange(1, 4) * np.pi / 4)]))
+    np.testing.assert_allclose(e["eigenvalues"], want[:2], rtol=1e-6)
+    assert e["which"] == "smallest"
+    assert e["iterations"] <= 300
+
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--eigs", "2", "--which", "largest", "--eigs-tol", "1e-9",
+         "--eigs-maxiter", "300"]
+    )
+    assert rc == 0
+    got = json.loads(text)["eigs"]["eigenvalues"]
+    np.testing.assert_allclose(got, want[::-1][:2], rtol=1e-6)
+
+
+def test_eigs_mode_guards(matrix_file):
+    assert _run(["--triad", "100", "--eigs", "2"])[0] == 1
+    # K must be below the matrix dimension
+    assert _run(["--matrix", matrix_file, "--eigs", "4"])[0] == 1
+    # unknown preconditioner class for eigs
+    assert _run(["--matrix", matrix_file, "--eigs", "2",
+                 "--precondition", "ic0"])[0] == 1
+
+
+def test_eigs_jacobi_preconditioned(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--eigs", "1", "--precondition", "jacobi",
+         "--eigs-tol", "1e-9", "--eigs-maxiter", "300"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    np.testing.assert_allclose(doc["eigs"]["eigenvalues"][0], 1.0,
+                               rtol=1e-6)
