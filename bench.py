@@ -501,6 +501,90 @@ def _legs(on_tpu: bool, interpret: bool):
 
     yield "file_driven", build_file_driven
 
+    # ---- solver stage: resident-regime CG iteration throughput ----
+    def build_solver():
+        # The solver layer's headline claim (resident-DIA CG at tens
+        # of us/iteration; batched multi-RHS at ~1.9x throughput,
+        # probe 59) captured as a driver artifact rather than a
+        # probe-only number.  Fixed-iteration (tol=0) solves;
+        # us/iteration from the slope between two chain lengths, so
+        # pad/extract/dispatch costs cancel.
+        from spmv_tpu.ops import (
+            batched_conjugate_gradient,
+            dia_conjugate_gradient,
+        )
+        from spmv_tpu.ops.spmv import spmm as generic_spmm
+
+        s_grid = 1024 if on_tpu else 48
+        s_mm = poisson2d(s_grid, s_grid)
+        s_dia = DiaMatrix.from_matrix_market(s_mm)
+        As = DeviceDia.from_host(s_dia, dtype=jnp.float32)
+        sn = s_dia.num_rows
+        s_x = rng.standard_normal(sn).astype(np.float32)
+        s_b = jnp.asarray(s_dia.spmv(s_x).astype(np.float32))
+        iters = (200, 600) if on_tpu else (20, 60)
+
+        def step(b, A):
+            return dia_conjugate_gradient(
+                A, b, tol=0.0, max_iterations=iters[1], path="xla")
+
+        def finish():
+            import jax as _jax
+
+            def slope(fn_small, fn_large, args):
+                ts = []
+                for fn in (fn_small, fn_large):
+                    r = fn(*args)
+                    float(jnp.sum(r.x))
+                    best = float("inf")
+                    for _ in range(4):
+                        t0 = time.perf_counter()
+                        r = fn(*args)
+                        float(jnp.sum(r.x))
+                        best = min(best, time.perf_counter() - t0)
+                    ts.append(best)
+                return (ts[1] - ts[0]) / (iters[1] - iters[0])
+
+            cg_small = _jax.jit(lambda b, A: dia_conjugate_gradient(
+                A, b, tol=0.0, max_iterations=iters[0], path="xla"))
+            cg_large = _jax.jit(step)
+            t1 = slope(cg_small, cg_large, (s_b, As))
+
+            # correctness gate: a real tolerance solve reaches x_true
+            sol = _jax.jit(lambda b, A: dia_conjugate_gradient(
+                A, b, tol=1e-5, max_iterations=3000, path="xla")
+            )(s_b, As)
+            rel = float(np.linalg.norm(
+                np.asarray(sol.x, np.float64) - s_x
+            ) / np.linalg.norm(s_x))
+            if rel > 1e-2:
+                raise RuntimeError(f"solver gate: CG rel err {rel}")
+
+            k = 4
+            Bk = jnp.asarray(rng.standard_normal(
+                (sn, k)).astype(np.float32))
+            bk_small = _jax.jit(lambda B, A: batched_conjugate_gradient(
+                lambda V: generic_spmm(A, V), B, tol=0.0,
+                max_iterations=iters[0]))
+            bk_large = _jax.jit(lambda B, A: batched_conjugate_gradient(
+                lambda V: generic_spmm(A, V), B, tol=0.0,
+                max_iterations=iters[1]))
+            tk = slope(bk_small, bk_large, (Bk, As))
+            return {"solver": {
+                "matrix": f"poisson2d_{s_grid}x{s_grid}",
+                "rows": sn,
+                "cg_us_per_iteration": t1 * 1e6,
+                "cg_solve_iterations": int(sol.iterations),
+                "cg_rel_x_err": rel,
+                "batched_k": k,
+                "batched_us_per_iteration": tk * 1e6,
+                "batched_throughput_vs_sequential": k * t1 / tk,
+            }}
+
+        return step, (s_b, As), finish
+
+    yield "solver", build_solver
+
 
 def _preflight() -> int:
     """AOT-compile every leg's kernel at driver shapes; no timing.

@@ -24,8 +24,10 @@ Implementation notes (standard S-basis formulation, as in SciPy's
 - Orthonormalization is Gram-eigh based: G = S^T S, and directions
   whose Gram eigenvalue falls below ``eps * max(w)`` are masked out
   by zeroing their inverse square root; their Rayleigh-Ritz diagonal
-  gets a +/-BIG penalty so degenerate directions can never be
-  selected as eigenpair approximations.
+  gets a spectrum-scaled penalty so degenerate directions can never
+  be selected as eigenpair approximations.  The selected Ritz
+  coefficients are then polished against the exact Gram metric with
+  a Newton-Schulz inverse square root.
 - A @ S is tracked incrementally (AX and AP update by the same
   coefficient recurrences as X and P), so each iteration costs
   exactly one ``matmat`` call on the W block.
@@ -213,9 +215,11 @@ def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
         # every OTHER eigenvalue (LAPACK's error is relative to ||H||).
         pen = 2.0 * jnp.sqrt(jnp.sum(H * H)) + 1.0
         H = H + jnp.diag(jnp.where(mask, 0.0, sign * pen))
-        evals, C = _small_eigh(sign * H)
         # eigh sorts ascending: with sign applied, the first k columns
-        # are the wanted end of the spectrum.
+        # are the wanted end of the spectrum (the Ritz VALUES are not
+        # used — theta is recomputed as exact Rayleigh quotients of
+        # the polished block below).
+        _evals, C = _small_eigh(sign * H)
         coeff = Vinv @ C[:, :k]                          # S-basis
         # Eigh EIGENVALUES are accurate everywhere, but its
         # EIGENVECTOR matrices are only ~5e-3-orthogonal in f32 on
@@ -232,7 +236,6 @@ def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
         for _ in range(3):
             T = 0.5 * T @ (3.0 * eye_k - M @ T @ T)
         coeff = coeff @ T
-        del evals  # Ritz values are recomputed as Rayleigh quotients
         X_new = S @ coeff
         AX_new = AS @ coeff
         theta_new = jnp.einsum("nk,nk->k", X_new, AX_new)
