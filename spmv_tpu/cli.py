@@ -296,7 +296,6 @@ def _solve_eigs(args, out) -> None:
         device_put_matrix,
     )
     from spmv_tpu.ops import lobpcg
-    from spmv_tpu.ops.eigen import EigResult  # noqa: F401 — re-export
     from spmv_tpu.ops.solvers import (
         extract_diagonal,
         jacobi_preconditioner,
@@ -324,8 +323,10 @@ def _solve_eigs(args, out) -> None:
         raise SpmvError(
             "--eigs needs a symmetric operator; skew-symmetric "
             "matrices have an imaginary spectrum")
+    mm_full = None
     if sym != "general":
-        m = type(m).from_matrix_market(mm.expand_symmetry())
+        mm_full = mm.expand_symmetry()
+        m = type(m).from_matrix_market(mm_full)
 
     A = device_put_matrix(m)
     minv = None
@@ -334,7 +335,16 @@ def _solve_eigs(args, out) -> None:
                            dtype=default_value_dtype())
         minv = jacobi_preconditioner(diag[:, None])
     elif args.precondition == "amg":
-        apply_v, _info = _amg_preconditioner_cli(kernel, m)
+        if mm_full is not None:
+            # The hierarchy must come from the EXPANDED operator:
+            # _amg_preconditioner_cli's fallback reads kernel._mm,
+            # which for symmetric storage is the one-triangle (and
+            # thus non-symmetric) matrix.
+            from spmv_tpu.ops.amg import amg_preconditioner
+
+            apply_v, _info = amg_preconditioner(mm_full)
+        else:
+            apply_v, _info = _amg_preconditioner_cli(kernel, m)
         minv = jax.vmap(apply_v, in_axes=1, out_axes=1)
     elif args.precondition != "none":
         raise SpmvError(

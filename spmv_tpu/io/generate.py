@@ -60,8 +60,12 @@ def poisson2d(nx: int, ny: int = None) -> MatrixMarket:
         ny = nx
     n = nx * ny
     # int32 indices: nnz-length arrays dominate generation cost at
-    # large n (first-touch page faults; see bench.py), and any grid
-    # this generator builds fits int32.
+    # large n (first-touch page faults; see bench.py).  Guarded so
+    # the documented assumption fails loudly instead of wrapping.
+    if n >= (1 << 31):
+        raise ValueError(
+            f"poisson2d grid {nx}x{ny} has {n} rows; int32 index "
+            "generation caps at 2^31-1")
     idx = np.arange(n, dtype=np.int32)
     ix = idx % np.int32(nx)
     iy = idx // np.int32(nx)
@@ -187,8 +191,10 @@ def block_random(
     bi, bj = key // nbc, key % nbc
     # int32 expansion: the nnz-length index arrays dominate the cost
     # of generation on hosts where first-touch page faults are
-    # expensive; row/col values fit int32 for any matrix this
-    # generator is used for.
+    # expensive.  Guarded: row/col values must fit int32.
+    if max(num_rows, num_columns) >= (1 << 31):
+        raise ValueError(
+            "block_random dimensions must fit int32 (< 2^31)")
     within = np.arange(block * block, dtype=np.int32)
     rows = (bi[:, None].astype(np.int32) * np.int32(block)
             + (within[None] // block)).reshape(-1)

@@ -71,11 +71,21 @@ def auto_format(
     # structure statistics must stay cheap next to conversion itself
     # (first-touch page faults price every nnz-sized temporary on the
     # target host — see bench.py).
-    rows = mm.rows_1based.astype(np.int32, copy=False) - 1
-    cols = mm.cols_1based.astype(np.int32, copy=False) - 1
-    diag = (cols - rows) + np.int32(mm.num_rows - 1)
-    num_diags = int(np.count_nonzero(np.bincount(
-        diag, minlength=mm.num_rows + mm.num_columns - 1)))
+    nspan = mm.num_rows + mm.num_columns - 1
+    if nspan <= (1 << 28) and max(mm.num_rows,
+                                  mm.num_columns) < (1 << 31):
+        rows = mm.rows_1based.astype(np.int32, copy=False) - 1
+        cols = mm.cols_1based.astype(np.int32, copy=False) - 1
+        diag = (cols - rows) + np.int32(mm.num_rows - 1)
+        num_diags = int(np.count_nonzero(np.bincount(
+            diag, minlength=nspan)))
+    else:
+        # hyper-sparse huge dimensions: the bincount span would be
+        # multi-GB (or overflow int32) — same guard as
+        # DiaMatrix._from_coo; fall back to an nnz-sized unique
+        rows = mm.rows_1based.astype(np.int64) - 1
+        cols = mm.cols_1based.astype(np.int64) - 1
+        num_diags = int(np.unique(cols - rows).size)
     dia_fill = (
         num_diags * mm.num_rows / max(mm.num_entries, 1)
     )

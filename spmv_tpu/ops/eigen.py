@@ -43,6 +43,24 @@ import numpy as np
 
 __all__ = ["lobpcg", "dia_eigsh", "EigResult"]
 
+# The solver's OWN contractions (Grams, projections, basis updates)
+# run at full f32 matmul precision: TPU matmuls default to bf16 MXU
+# passes whose ~5e-3 relative error floors the whole iteration at a
+# ~1e-2 residual (measured).  Annotated per-call rather than via
+# jax.default_matmul_precision so the user's matmat and
+# preconditioner genuinely keep their own precision policy.
+
+
+def _mmh(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _coldot(a, b):
+    # per-column <a_j, b_j>; einsum also lowers to bf16 MXU passes on
+    # TPU by default, so it carries the same precision annotation
+    return jnp.einsum("nk,nk->k", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
+
 
 class EigResult(NamedTuple):
     eigenvalues: jax.Array      # (k,)
@@ -76,8 +94,13 @@ def _jacobi_eigh(H: jax.Array, sweeps: int = 12):
                 rotate = jnp.abs(hpq) > tiny
                 tau = (hqq - hpp) / jnp.where(
                     rotate, 2.0 * hpq, jnp.asarray(1.0, H.dtype))
-                t = jnp.sign(tau) / (
-                    jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                # tau == 0 (exactly equal diagonal pair) takes the
+                # full 45-degree rotation, t = 1; jnp.sign(0) = 0
+                # would silently skip it and never annihilate hpq.
+                t = jnp.where(
+                    tau == 0.0, 1.0,
+                    jnp.sign(tau) / (
+                        jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)))
                 c = jnp.where(
                     rotate, 1.0 / jnp.sqrt(1.0 + t * t), 1.0)
                 s = jnp.where(rotate, t * c, 0.0)
@@ -141,14 +164,21 @@ def lobpcg(
     a local SpMM or a sharded (shard_map) operator, exactly like the
     solver layer's matvecs.
 
-    Precision: eigenvalue error is ~``eps * ||A||`` ABSOLUTE — in f32
-    on TPU the smallest eigenvalues of a 65k-row Laplacian (3e-4
-    against ||A|| ~ 8) come back to ~0.3% relative, measured; use f64
-    (CPU) when the bottom of the spectrum must be tight, and pair
-    with a strong preconditioner (e.g. ``amg_preconditioner`` vmapped
-    over columns — see tests/test_eigen.py) on fine meshes, where the
+    Precision: in f32 on TPU the smallest eigenvalues of a 65k-row
+    Laplacian (3e-4 against ||A|| ~ 8) come back to ~1e-5 relative in
+    10 AMG-preconditioned iterations (measured; Rayleigh quotients
+    square the eigenvector error, so the naive eps*||A|| bound is
+    pessimistic).  Use f64 (CPU) when the bottom of the spectrum must
+    be tighter than f32's attainable residual, and pair with a strong
+    preconditioner (e.g. ``amg_preconditioner`` vmapped over columns —
+    see tests/test_eigen.py) on fine meshes, where the
     unpreconditioned block iteration crawls through the clustered low
-    end.
+    end.  The solver's own algebra is annotated to full matmul
+    precision, but ``matmat`` keeps its caller's policy — a DENSE
+    operator on TPU should pass ``precision=Precision.HIGHEST`` in its
+    own matmul or its ~5e-3 bf16 default bounds the attainable
+    residual (the framework's sparse operators are elementwise /
+    explicitly-accumulated and unaffected).
     """
     X0 = jnp.asarray(X0)
     n, k = X0.shape
@@ -161,53 +191,44 @@ def lobpcg(
         # diverges (measured: 1e19-scale "eigenvalues" on TPU f32).
         gram_eps = float(np.finfo(np.dtype(dtype)).eps) * 1e3
     sign = -1.0 if largest else 1.0
-
-    # Everything in this solver's own algebra (Grams, projections,
-    # basis updates) must contract at FULL f32: TPU matmuls default
-    # to bf16 MXU passes, whose ~5e-3 relative error floors the
-    # residual at ~1e-2 regardless of how accurate the small
-    # eigendecompositions are (measured; the user's matmat keeps its
-    # own precision policy).
-    with jax.default_matmul_precision("highest"):
-        return _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
-                            max_iterations, gram_eps, sign, n, k,
-                            dtype)
+    return _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
+                        max_iterations, gram_eps, sign, n, k, dtype)
 
 
 def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
                  max_iterations, gram_eps, sign, n, k, dtype):
     # Orthonormalize X0 and seed P with random directions so the
     # (n, 3k) basis has full column count from step one.
-    cX, _ = _ortho_coeffs(X0.T @ X0, gram_eps)
-    X = X0 @ cX
+    cX, _ = _ortho_coeffs(_mmh(X0.T, X0), gram_eps)
+    X = _mmh(X0, cX)
     key = jax.random.PRNGKey(0)
     P = jax.random.normal(key, (n, k), dtype)
     AX = matmat(X)
     AP = matmat(P)
-    theta0 = jnp.einsum("nk,nk->k", X, AX)
+    theta0 = _coldot(X, AX)
 
     def body(state):
         X, AX, P, AP, _theta, _res, it = state
-        theta = jnp.einsum("nk,nk->k", X, AX)
+        theta = _coldot(X, AX)
         R = AX - X * theta[None, :]
         W = preconditioner(R) if preconditioner is not None else R
         # Per-column normalization of the W and P blocks conditions
         # the Gram matrix (their natural scales shrink toward zero as
         # the iteration converges).
         def _colnorm(B):
-            s = jnp.sqrt(jnp.einsum("nk,nk->k", B, B))
+            s = jnp.sqrt(_coldot(B, B))
             return B / jnp.maximum(s, jnp.asarray(1e-30, dtype))[None]
 
         W = _colnorm(W)
         AW = matmat(W)
-        Pn = jnp.sqrt(jnp.einsum("nk,nk->k", P, P))
+        Pn = jnp.sqrt(_coldot(P, P))
         Ps = jnp.maximum(Pn, jnp.asarray(1e-30, dtype))[None, :]
 
         S = jnp.concatenate([X, W, P / Ps], axis=1)     # (n, 3k)
         AS = jnp.concatenate([AX, AW, AP / Ps], axis=1)
-        G = S.T @ S
+        G = _mmh(S.T, S)
         Vinv, mask = _ortho_coeffs(G, gram_eps)
-        H = Vinv.T @ (S.T @ AS) @ Vinv
+        H = _mmh(_mmh(Vinv.T, _mmh(S.T, AS)), Vinv)
         H = 0.5 * (H + H.T)
         # Degenerate directions must sort AWAY from the selected end.
         # The penalty is spectrum-scaled (2 ||H||_F >= 2 ||H||_2): an
@@ -220,7 +241,7 @@ def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
         # used — theta is recomputed as exact Rayleigh quotients of
         # the polished block below).
         _evals, C = _small_eigh(sign * H)
-        coeff = Vinv @ C[:, :k]                          # S-basis
+        coeff = _mmh(Vinv, C[:, :k])                     # S-basis
         # Eigh EIGENVALUES are accurate everywhere, but its
         # EIGENVECTOR matrices are only ~5e-3-orthogonal in f32 on
         # TPU (QDWH; measured, unlike LAPACK's ~eps) — through both
@@ -230,23 +251,23 @@ def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
         # with a Newton-Schulz inverse square root: M = coeff^T G
         # coeff is within O(1e-2) of I, where the iteration converges
         # quadratically using nothing but small matmuls (f32-exact).
-        M = coeff.T @ G @ coeff
+        M = _mmh(_mmh(coeff.T, G), coeff)
         T = jnp.eye(k, dtype=dtype)
         eye_k = jnp.eye(k, dtype=dtype)
         for _ in range(3):
-            T = 0.5 * T @ (3.0 * eye_k - M @ T @ T)
-        coeff = coeff @ T
-        X_new = S @ coeff
-        AX_new = AS @ coeff
-        theta_new = jnp.einsum("nk,nk->k", X_new, AX_new)
+            T = 0.5 * _mmh(T, 3.0 * eye_k - _mmh(M, _mmh(T, T)))
+        coeff = _mmh(coeff, T)
+        X_new = _mmh(S, coeff)
+        AX_new = _mmh(AS, coeff)
+        theta_new = _coldot(X_new, AX_new)
         # P spans only the W/P contribution of the update (classical
         # LOBPCG three-term recurrence).
         coeff_wp = coeff.at[:k, :].set(0.0)
-        P_new = S @ coeff_wp
-        AP_new = AS @ coeff_wp
+        P_new = _mmh(S, coeff_wp)
+        AP_new = _mmh(AS, coeff_wp)
 
         R_new = AX_new - X_new * theta_new[None, :]
-        res = jnp.sqrt(jnp.einsum("nk,nk->k", R_new, R_new))
+        res = jnp.sqrt(_coldot(R_new, R_new))
         return (X_new, AX_new, P_new, AP_new, theta_new, res, it + 1)
 
     def cond(state):
@@ -267,9 +288,9 @@ def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
              jnp.array(0, jnp.int32))
     X, AX, P, AP, theta, res, it = jax.lax.while_loop(cond, body, state)
     # One final Rayleigh-quotient pass on the returned block.
-    theta = jnp.einsum("nk,nk->k", X, AX)
+    theta = _coldot(X, AX)
     R = AX - X * theta[None, :]
-    res = jnp.sqrt(jnp.einsum("nk,nk->k", R, R))
+    res = jnp.sqrt(_coldot(R, R))
     order = jnp.argsort(-theta if largest else theta)
     return EigResult(
         eigenvalues=theta[order],

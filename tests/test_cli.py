@@ -378,3 +378,30 @@ def test_eigs_jacobi_preconditioned(matrix_file):
     doc = json.loads(text)
     np.testing.assert_allclose(doc["eigs"]["eigenvalues"][0], 1.0,
                                rtol=1e-6)
+
+
+def test_eigs_symmetric_storage_amg(tmp_path):
+    # Symmetric STORAGE (one triangle) must expand for BOTH the
+    # operator and the AMG hierarchy — a hierarchy built on the
+    # stored triangle is a non-symmetric operator and converges to
+    # wrong eigenpairs.  3x3 tridiag(-1, 2, -1): spectrum 2 -+ sqrt(2), 2.
+    p = tmp_path / "sym.mtx"
+    p.write_text("""%%MatrixMarket matrix coordinate real symmetric
+3 3 5
+1 1 2.0
+2 1 -1.0
+2 2 2.0
+3 2 -1.0
+3 3 2.0
+""")
+    want = np.sort(2.0 - 2.0 * np.cos(np.arange(1, 4) * np.pi / 4))
+    for pre in ("none", "jacobi", "amg"):
+        rc, text = _run(
+            ["--matrix", str(p), "--spmv-format", "csr",
+             "--eigs", "2", "--eigs-tol", "1e-8",
+             "--precondition", pre, "--eigs-maxiter", "300"]
+        )
+        assert rc == 0, pre
+        got = json.loads(text)["eigs"]["eigenvalues"]
+        np.testing.assert_allclose(got, want[:2], rtol=1e-6,
+                                   err_msg=pre)

@@ -158,3 +158,31 @@ def test_lobpcg_amg_preconditioned_laplacian():
     # AMG converges well inside the cap; plain does not finish
     assert int(res.iterations) < 60
     assert int(res.iterations) < int(plain.iterations)
+
+
+def test_jacobi_eigh_equal_diagonal_pair():
+    # tau == 0 (exactly equal diagonal pair with nonzero coupling)
+    # takes the full 45-degree rotation — jnp.sign(0) = 0 would skip
+    # it and silently return the unrotated diagonal.
+    from spmv_tpu.ops.eigen import _jacobi_eigh
+
+    H = jnp.asarray([[2.0, 1.0], [1.0, 2.0]])
+    w, V = _jacobi_eigh(H)
+    np.testing.assert_allclose(np.asarray(w), [1.0, 3.0], rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(V.T @ V), np.eye(2), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(H @ V - V * w[None, :]), 0.0, atol=1e-12)
+
+
+def test_jacobi_eigh_random_matches_lapack():
+    from spmv_tpu.ops.eigen import _jacobi_eigh
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((9, 9))
+    H = (M + M.T) / 2
+    w, V = _jacobi_eigh(jnp.asarray(H))
+    np.testing.assert_allclose(np.asarray(w), np.linalg.eigvalsh(H),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(V.T @ V), np.eye(9),
+                               atol=1e-10)
