@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "device and report convergence + timing")
     p.add_argument("--cg-tol", type=float, default=1e-6,
                    help="CG relative-residual tolerance (default 1e-6)")
+    p.add_argument("--nrhs", type=int, metavar="K", default=1,
+                   help="with --cg and --solver cg: solve K "
+                        "right-hand sides at once (batched multi-RHS "
+                        "CG — one SpMM per iteration; per-column "
+                        "convergence reported)")
     p.add_argument("--solver",
                    choices=("cg", "bicgstab", "gmres", "chebyshev"),
                    default="cg",
@@ -389,6 +394,82 @@ def _solve_eigs(args, out) -> None:
     dump_json(doc, out)
 
 
+def _solve_cg_batched(args, kernel, m, A, out) -> None:
+    """--cg --nrhs K: batched multi-RHS CG (one SpMM per iteration),
+    per-column convergence in the JSON report."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spmv_tpu.models.device import default_value_dtype
+    from spmv_tpu.ops import batched_conjugate_gradient
+    from spmv_tpu.ops.solvers import (
+        extract_diagonal,
+        jacobi_preconditioner,
+    )
+    from spmv_tpu.ops.spmv import spmm as _spmm
+    from spmv_tpu.utils.jsonio import dump_json
+
+    if args.solver != "cg":
+        raise SpmvError("--nrhs applies to --solver cg only")
+    if args.precondition not in ("none", "jacobi"):
+        raise SpmvError(
+            "--nrhs supports --precondition none or jacobi (column-"
+            "wise applies); use single-RHS solves for ic0/ilu0/amg")
+
+    k = args.nrhs
+    dt = default_value_dtype()
+    # per-column scaled all-ones solutions: each column's B = A @
+    # ((j+1) * ones), so the rms-error gate checks every column
+    scale = jnp.arange(1, k + 1, dtype=dt)
+    X_true = jnp.ones((m.num_columns, k), dt) * scale[None, :]
+    B = _spmm(A, X_true)
+    minv = None
+    if args.precondition == "jacobi":
+        minv = jacobi_preconditioner(jnp.asarray(
+            extract_diagonal(m), dtype=dt)[:, None])
+
+    @jax.jit
+    def solve(B):
+        return batched_conjugate_gradient(
+            lambda V: _spmm(A, V), B, preconditioner=minv,
+            tol=args.cg_tol, max_iterations=args.cg,
+            recompute_every=args.recompute_residual)
+
+    res = solve(B)
+    float(res.residual_norm[0])   # fetch: the only reliable sync
+    t0 = _time.perf_counter()
+    res = solve(B)
+    float(res.residual_norm[0])
+    seconds = _time.perf_counter() - t0
+
+    X = np.asarray(res.x)
+    Xt = np.asarray(X_true)
+    errs = [
+        float(np.linalg.norm(X[:, j] - Xt[:, j])
+              / np.sqrt(m.num_rows) / (j + 1))
+        for j in range(k)
+    ]
+    dump_json({
+        "kernel": kernel.describe(),
+        "cg": {
+            "solver": "cg",
+            "nrhs": k,
+            "max_iterations": args.cg,
+            "tolerance": args.cg_tol,
+            "preconditioner": args.precondition,
+            "iterations": [int(i) for i in np.asarray(res.iterations)],
+            "residual_norms": [float(v) for v in
+                               np.asarray(res.residual_norm)],
+            "solution_rms_error_vs_ones": errs,
+            "seconds": seconds,
+            "device": jax.devices()[0].platform,
+        },
+    }, out)
+
+
 def _solve_cg(args, out) -> None:
     import time as _time
 
@@ -425,6 +506,10 @@ def _solve_cg(args, out) -> None:
     A = device_put_matrix(m)
     ones = jnp.ones((m.num_columns,), default_value_dtype())
     b = spmv(A, ones)
+
+    if args.nrhs > 1:
+        _solve_cg_batched(args, kernel, m, A, out)
+        return
 
     from spmv_tpu.models.device import DeviceDia
 

@@ -405,3 +405,30 @@ def test_eigs_symmetric_storage_amg(tmp_path):
         got = json.loads(text)["eigs"]["eigenvalues"]
         np.testing.assert_allclose(got, want[:2], rtol=1e-6,
                                    err_msg=pre)
+
+
+def test_cg_nrhs_batched(matrix_file):
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--cg", "200", "--cg-tol", "1e-10", "--nrhs", "3"]
+    )
+    assert rc == 0
+    doc = json.loads(text)["cg"]
+    assert doc["nrhs"] == 3
+    assert len(doc["iterations"]) == 3
+    assert all(i <= 200 for i in doc["iterations"])
+    assert all(e < 1e-5 for e in doc["solution_rms_error_vs_ones"])
+    # jacobi-preconditioned variant
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "csr",
+         "--cg", "200", "--cg-tol", "1e-10", "--nrhs", "2",
+         "--precondition", "jacobi"]
+    )
+    assert rc == 0
+    doc = json.loads(text)["cg"]
+    assert all(e < 1e-5 for e in doc["solution_rms_error_vs_ones"])
+    # guards: wrong solver / unsupported preconditioner
+    assert _run(["--matrix", matrix_file, "--cg", "10", "--nrhs", "2",
+                 "--solver", "bicgstab"])[0] == 1
+    assert _run(["--matrix", matrix_file, "--cg", "10", "--nrhs", "2",
+                 "--precondition", "amg"])[0] == 1
