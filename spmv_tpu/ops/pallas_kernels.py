@@ -193,8 +193,10 @@ def _dia_window_schedule(j, active, fb, nb, window_dma, in_place):
     return j % 3
 
 
-def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype,
-                in_place=False):
+def _dia_kernel(x_hbm, d_ref, y_ref, *rest, offsets, plan, dtype,
+                in_place=False, with_dot=False):
+    dot_ref = rest[0] if with_dot else None
+    win, sems = rest[-2], rest[-1]
     w = plan.tile_rows
     fb, nb, wr = plan.front_blocks, plan.num_tiles, plan.window_rows
     j = pl.program_id(0)
@@ -234,10 +236,22 @@ def _dia_kernel(x_hbm, d_ref, y_ref, win, sems, *, offsets, plan, dtype,
                 )
             acc = acc + d_ref[k].astype(acc_dt) * shifted
         y_ref[:] = acc.astype(dtype)
+        if with_dot:
+            # Fused <x, A x> partial (lane-wise; the host sums the
+            # tiny (grid, LANE) output): x's own tile is already in
+            # the VMEM window, so CG's p.Ap dot costs nothing here vs
+            # a separate 2-vector HBM pass (~12% of a streaming
+            # iteration, probe 60).
+            x_tile = win[slot, pl.ds(-plan.smin_row, w), :].astype(
+                jnp.float32)
+            dot_ref[0, :] = jnp.sum(
+                x_tile * acc.astype(jnp.float32), axis=0)
 
     @pl.when(jnp.logical_not(active))
     def _():
         y_ref[:] = jnp.zeros((w, LANE), dtype=dtype)
+        if with_dot:
+            dot_ref[0, :] = jnp.zeros((LANE,), jnp.float32)
 
 
 def _dia_in_place_ok(plan: DiaPlan) -> bool:
@@ -249,11 +263,13 @@ def _dia_in_place_ok(plan: DiaPlan) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_rows", "interpret", "in_place"))
+    jax.jit,
+    static_argnames=("tile_rows", "interpret", "in_place", "with_dot"))
 def dia_spmv_core(
     A: DeviceDia, x2d: jax.Array, tile_rows: int = 256,
     interpret: bool = False, in_place: bool | None = None,
-) -> jax.Array:
+    with_dot: bool = False,
+):
     """y2d = A @ x in the padded layout (same layout in and out).
 
     ``x2d`` must come from :func:`dia_prepare_x` (or be a previous
@@ -266,6 +282,13 @@ def dia_spmv_core(
     two (probe 24), so chained callers should leave it on.  ``x2d``
     must not be reused after the call (XLA inserts a defensive copy if
     it is live, losing the benefit but not correctness).
+
+    ``with_dot=True`` returns ``(y2d, dot_partials)`` where
+    ``dot_partials.sum()`` equals ``<x, A x>`` in f32 — the fused CG
+    dot (the x tile is already in the kernel's VMEM window, so this
+    skips the separate 2-vector HBM pass that prices p.Ap).  The
+    padded rows contribute exact zeros (x is zero there).  Requires
+    ``in_place=False`` (x must outlive the call to be dotted).
     """
     plan = make_plan(A, tile_rows)
     w = plan.tile_rows
@@ -281,6 +304,10 @@ def dia_spmv_core(
         )
     itemsize = jnp.dtype(data.dtype).itemsize
     fits3 = 3 * plan.window_rows * LANE * itemsize <= 12 * 1024 * 1024
+    if with_dot:
+        if in_place:
+            raise MatrixError("with_dot requires in_place=False")
+        in_place = False
     if in_place is None:
         in_place = _dia_in_place_ok(plan) and fits3
     elif in_place and not (_dia_in_place_ok(plan) and fits3):
@@ -293,10 +320,19 @@ def dia_spmv_core(
 
     kernel = functools.partial(
         _dia_kernel, offsets=A.offsets, plan=plan, dtype=data.dtype,
-        in_place=in_place,
+        in_place=in_place, with_dot=with_dot,
     )
     fb, nb = plan.front_blocks, plan.num_tiles
     n_slots = 3 if in_place else 2
+    out_shape = jax.ShapeDtypeStruct((plan.total_rows, LANE), data.dtype)
+    out_specs = pl.BlockSpec(
+        (w, LANE), lambda j: (j, 0), memory_space=pltpu.VMEM
+    )
+    if with_dot:
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (plan.grid, LANE), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, LANE), lambda j: (j, 0), memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=(plan.grid,),
@@ -308,10 +344,8 @@ def dia_spmv_core(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (w, LANE), lambda j: (j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((plan.total_rows, LANE), data.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n_slots, plan.window_rows, LANE), data.dtype),
             pltpu.SemaphoreType.DMA((n_slots,)),
