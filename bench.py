@@ -132,8 +132,93 @@ def main() -> int:
     return 0
 
 
+_FD_CHILD = r"""
+import ctypes, json, os, sys, time
+sys.path.insert(0, os.environ["SPMV_BENCH_REPO"])
+try:  # same malloc policy as the parent bench (_tune_malloc)
+    _libc = ctypes.CDLL(None, use_errno=True)
+    _libc.mallopt(-3, 1 << 30)
+    _libc.mallopt(-1, 1 << 30)
+except Exception:
+    pass
+import jax
+from spmv_tpu.utils.compilecache import enable_persistent_cache
+enable_persistent_cache()
+import jax.numpy as jnp
+import numpy as np
+from spmv_tpu.io.matrix_market import load_matrix
+from spmv_tpu.models.wellcw import WellCwMatrix
+from spmv_tpu.models.device import DeviceWellCw
+from spmv_tpu.ops.pallas_kernels import wellcw_spmv
+tgz = sys.argv[1]
+interpret = len(sys.argv) > 2 and sys.argv[2] == "interpret"
+t0 = time.perf_counter()
+mm = load_matrix(tgz)
+t1 = time.perf_counter()
+cw = WellCwMatrix.from_matrix_market(mm)
+t2 = time.perf_counter()
+A = DeviceWellCw.from_host(cw, dtype=jnp.float32)
+x = jnp.ones((cw.num_columns,), jnp.float32)
+y = wellcw_spmv(A, x, interpret=interpret)
+checksum = float(jnp.abs(y).sum())
+t3 = time.perf_counter()
+print(json.dumps({
+    "ingest_seconds": t1 - t0,
+    "convert_seconds": t2 - t1,
+    "device_and_first_spmv_seconds": t3 - t2,
+    "time_to_solution_seconds": t3 - t0,
+    "checksum": checksum,
+}))
+"""
+
+
+def _fd_cold_warm(tgz: str, td: str, interpret: bool = False) -> dict:
+    """Cold/warm fresh-process time-to-solution for the file workflow.
+
+    Spawns the full file->device->first-SpMV pipeline in a child
+    process twice against a fresh persistent compilation cache: run 1
+    compiles everything and populates the cache (cold), run 2 reads it
+    back (warm).  The axon tunnel multiplexes the chip, so children
+    run while the bench process holds its own client (verified).
+    Errors degrade to a ``fdchild_error`` field instead of failing
+    the leg.
+    """
+    import os as _os
+    import subprocess
+
+    cache = _os.path.join(td, "fdcache")
+    env = dict(_os.environ)
+    env["SPMV_TPU_CACHE_DIR"] = cache
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env["SPMV_BENCH_REPO"] = _os.path.dirname(_os.path.abspath(__file__))
+    out: dict = {}
+    try:
+        for tag in ("cold", "warm"):
+            argv = [sys.executable, "-c", _FD_CHILD, tgz]
+            if interpret:
+                argv.append("interpret")
+            r = subprocess.run(argv, capture_output=True, text=True,
+                               timeout=600, env=env)
+            if r.returncode != 0:
+                out["fdchild_error"] = (
+                    f"{tag} child rc={r.returncode}: "
+                    + r.stderr.strip()[-500:])
+                return out
+            doc = json.loads(r.stdout.strip().splitlines()[-1])
+            out[f"time_to_solution_{tag}_seconds"] = (
+                doc["time_to_solution_seconds"])
+            out[f"device_and_first_spmv_{tag}_seconds"] = (
+                doc["device_and_first_spmv_seconds"])
+    except Exception as e:  # noqa: BLE001 — report, don't fail the leg
+        out["fdchild_error"] = f"{type(e).__name__}: {e}"[:500]
+    return out
+
+
 def _setup():
     """Shared device/flag context for the run and preflight modes."""
+    from spmv_tpu.utils.compilecache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
 
     from spmv_tpu.perfmodel.tiling import TPU_V5E
@@ -484,9 +569,13 @@ def _legs(on_tpu: bool, interpret: bool):
                 y_first = wellcw_spmv(Afd, xfd, interpret=interpret)
                 fd_checksum = float(jnp.abs(y_first).sum())
                 t3 = time.perf_counter()
+                # Fresh-process cold/warm pair on real hardware only:
+                # the CPU/interpret contract run keeps its wall time.
+                cold_warm = (_fd_cold_warm(tgz, td, interpret)
+                             if on_tpu else {})
             fd_want = float(np.abs(fd_cw.spmv(
                 np.asarray(xfd, np.float64))).sum())
-            return {"file_driven": {
+            detail = {
                 "file_bytes": file_bytes,
                 "nnz": fd_loaded.num_entries,
                 "ingest_seconds": t1 - t0,
@@ -495,7 +584,9 @@ def _legs(on_tpu: bool, interpret: bool):
                 "time_to_solution_seconds": t3 - t0,
                 "checksum_rel_err":
                     abs(fd_checksum - fd_want) / fd_want,
-            }}
+            }
+            detail.update(cold_warm)
+            return {"file_driven": detail}
 
         return step, None, finish
 

@@ -334,6 +334,32 @@ def _solve_eigs(args, out) -> None:
         m = type(m).from_matrix_market(mm_full)
 
     A = device_put_matrix(m)
+    if sym == "general":
+        # General STORAGE promises nothing about the operator; LOBPCG
+        # on a non-symmetric matrix silently "converges" to garbage.
+        # Randomized check: <u_i, A v_i> == <A u_i, v_i> for a few
+        # random pairs catches any asymmetric A cheaply (two SpMMs).
+        kprobe = jax.random.PRNGKey(1)
+        ku, kv = jax.random.split(kprobe)
+        Up = jax.random.normal(ku, (m.num_rows, 2),
+                               default_value_dtype())
+        Vp = jax.random.normal(kv, (m.num_rows, 2),
+                               default_value_dtype())
+        AU = spmm(A, Up)
+        AV = spmm(A, Vp)
+        lhs = jnp.einsum("nk,nk->k", Up, AV)
+        rhs = jnp.einsum("nk,nk->k", AU, Vp)
+        scale = jnp.maximum(
+            jnp.abs(lhs) + jnp.abs(rhs),
+            jnp.linalg.norm(AU, axis=0) * jnp.linalg.norm(Vp, axis=0)
+            * np.finfo(np.float32).eps)
+        asym = float(jnp.max(jnp.abs(lhs - rhs) / scale))
+        if asym > 1e-3:
+            raise SpmvError(
+                "--eigs requires a numerically symmetric operator; "
+                f"random probe found <u,Av> != <Au,v> (relative "
+                f"asymmetry {asym:.2e}). Re-store the matrix with "
+                "symmetric field or symmetrize it first.")
     minv = None
     if args.precondition == "jacobi":
         diag = jnp.asarray(extract_diagonal(m),
@@ -847,6 +873,13 @@ def _profile(args, out) -> None:
 def main(argv=None, out=None) -> int:
     args = build_parser().parse_args(argv)
     out = out or sys.stdout
+    # Persistent XLA compilation cache: the reference pays no compile
+    # tax (load->run is milliseconds, matrix-market.cpp:777), so a
+    # fresh-process compile wall would be a regression in the product
+    # experience.  Opt out with SPMV_TPU_NO_CACHE=1.
+    from spmv_tpu.utils.compilecache import enable_persistent_cache
+
+    enable_persistent_cache()
     try:
         if args.list_devices:
             _list_devices(out)

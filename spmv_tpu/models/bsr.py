@@ -161,7 +161,12 @@ class BsrMatrix:
         # int32 temporaries throughout: first-touch page faults are
         # ~5 ms/MB on the target host, so halving bytes halves wall
         # time (the key fits int32 whenever nbins <= 2^28).
-        if vals.size and nbins <= (1 << 28):
+        # The fast path also needs the raw coordinates to fit int32
+        # (same guard as DiaMatrix._from_coo / generate.py): int64
+        # rows >= 2^31 with a narrow column count would pass the
+        # nbins gate yet overflow rows.astype(int32).
+        if (vals.size and nbins <= (1 << 28)
+                and max(num_rows, num_columns) < (1 << 31)):
             r32 = rows.astype(np.int32, copy=False)
             c32 = cols.astype(np.int32, copy=False)
             key = (r32 // np.int32(bh)) * np.int32(ncb_p) + (c32 >> 7)

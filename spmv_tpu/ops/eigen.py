@@ -35,6 +35,7 @@ Implementation notes (standard S-basis formulation, as in SciPy's
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, NamedTuple
 
 import jax
@@ -183,6 +184,25 @@ def lobpcg(
     X0 = jnp.asarray(X0)
     n, k = X0.shape
     dtype = X0.dtype
+    # The Rayleigh-Ritz step eigendecomposes a (3k, 3k) Gram matrix
+    # with statically-unrolled Jacobi rotations (m(m-1)/2 per sweep),
+    # so compile time and HLO size grow quadratically in k; and the
+    # (n, 3k) trial basis only has full column rank when 3k <= n
+    # (below that the gram_eps masking drops the degenerate
+    # directions — correct but wasteful).
+    if k > n:
+        raise ValueError(
+            f"lobpcg needs k <= n; got k={k}, n={n}")
+    if 3 * k > n:
+        warnings.warn(
+            f"lobpcg trial basis (n={n}, 3k={3*k}) is rank-deficient; "
+            "fine for toy sizes, but prefer 3*k <= n", stacklevel=2)
+    if k > 32:
+        warnings.warn(
+            f"lobpcg block size k={k} unrolls {3*k*(3*k-1)//2} Jacobi "
+            "rotations per sweep in the Rayleigh-Ritz step; compile "
+            "time grows quadratically — consider k <= 32 or batching "
+            "the spectrum in slices", stacklevel=2)
     if gram_eps is None:
         # The degenerate-direction mask must sit WELL above the
         # working precision's epsilon: a fixed 1e-10 is fine in f64

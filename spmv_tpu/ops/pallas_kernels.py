@@ -241,17 +241,20 @@ def _dia_kernel(x_hbm, d_ref, y_ref, *rest, offsets, plan, dtype,
             # tiny (grid, LANE) output): x's own tile is already in
             # the VMEM window, so CG's p.Ap dot costs nothing here vs
             # a separate 2-vector HBM pass (~12% of a streaming
-            # iteration, probe 60).
+            # iteration, probe 60).  Accumulated in acc_dt so f64
+            # data keeps a double-precision p.Ap (bf16 storage still
+            # dots in f32).
             x_tile = win[slot, pl.ds(-plan.smin_row, w), :].astype(
-                jnp.float32)
-            dot_ref[0, :] = jnp.sum(
-                x_tile * acc.astype(jnp.float32), axis=0)
+                acc_dt)
+            dot_ref[0, :] = jnp.sum(x_tile * acc, axis=0)
 
     @pl.when(jnp.logical_not(active))
     def _():
         y_ref[:] = jnp.zeros((w, LANE), dtype=dtype)
         if with_dot:
-            dot_ref[0, :] = jnp.zeros((LANE,), jnp.float32)
+            acc_dt = (dtype if jnp.dtype(dtype).itemsize >= 4
+                      else jnp.float32)
+            dot_ref[0, :] = jnp.zeros((LANE,), acc_dt)
 
 
 def _dia_in_place_ok(plan: DiaPlan) -> bool:
@@ -284,7 +287,8 @@ def dia_spmv_core(
     it is live, losing the benefit but not correctness).
 
     ``with_dot=True`` returns ``(y2d, dot_partials)`` where
-    ``dot_partials.sum()`` equals ``<x, A x>`` in f32 — the fused CG
+    ``dot_partials.sum()`` equals ``<x, A x>`` in the accumulator
+    dtype (f64 for f64 data, else f32) — the fused CG
     dot (the x tile is already in the kernel's VMEM window, so this
     skips the separate 2-vector HBM pass that prices p.Ap).  The
     padded rows contribute exact zeros (x is zero there).  Requires
@@ -329,8 +333,10 @@ def dia_spmv_core(
         (w, LANE), lambda j: (j, 0), memory_space=pltpu.VMEM
     )
     if with_dot:
+        dot_dt = (data.dtype if jnp.dtype(data.dtype).itemsize >= 4
+                  else jnp.float32)
         out_shape = (out_shape, jax.ShapeDtypeStruct(
-            (plan.grid, LANE), jnp.float32))
+            (plan.grid, LANE), dot_dt))
         out_specs = (out_specs, pl.BlockSpec(
             (1, LANE), lambda j: (j, 0), memory_space=pltpu.VMEM))
     return pl.pallas_call(
@@ -666,7 +672,13 @@ def well_spmv(
     A: DeviceWell, x: jax.Array, interpret: bool = False
 ) -> jax.Array:
     """y = A @ x including the spill remainder, true row count."""
-    y = well_spmv_padded(A, x, interpret=interpret)[: A.num_rows]
+    if interpret:
+        y = well_spmv_padded(A, x, interpret=True)
+    else:
+        from spmv_tpu.utils.aotcache import aot_call
+
+        y = aot_call("well_spmv_padded", well_spmv_padded, (A, x))
+    y = y[: A.num_rows]
     if A.spill is not None:
         from spmv_tpu.ops.spmv import spmv as _xla_spmv
 
@@ -1315,7 +1327,13 @@ def well_spmm(
     A: DeviceWell, X: jax.Array, interpret: bool = False
 ) -> jax.Array:
     """Y = A @ X including the spill remainder, true row count."""
-    Y = well_spmm_padded(A, X, interpret=interpret)[: A.num_rows]
+    if interpret:
+        Y = well_spmm_padded(A, X, interpret=True)
+    else:
+        from spmv_tpu.utils.aotcache import aot_call
+
+        Y = aot_call("well_spmm_padded", well_spmm_padded, (A, X))
+    Y = Y[: A.num_rows]
     if A.spill is not None:
         from spmv_tpu.ops.spmv import spmm as _xla_spmm
 
@@ -1722,7 +1740,17 @@ def wellcw_spmv_padded(A, x, interpret: bool = False) -> jax.Array:
 
 def wellcw_spmv(A, x, interpret: bool = False) -> jax.Array:
     """y = A @ x including the remainder, true row count."""
-    y = wellcw_spmv_padded(A, x, interpret=interpret)[: A.num_rows]
+    if interpret:
+        y = wellcw_spmv_padded(A, x, interpret=True)
+    else:
+        # The CW kernels' unrolled gathers make Python tracing the
+        # dominant fresh-process cost (~4 s at modest shapes); the AOT
+        # trace cache skips it entirely on warm runs (measured
+        # 5.5 s -> 0.04 s first-SpMV with a warm cache).
+        from spmv_tpu.utils.aotcache import aot_call
+
+        y = aot_call("wellcw_spmv_padded", wellcw_spmv_padded, (A, x))
+    y = y[: A.num_rows]
     if A.remainder is not None:
         from spmv_tpu.ops.spmv import spmv as _xla_spmv
 
@@ -1947,7 +1975,13 @@ def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
 
 def wellcw_spmm(A, X, interpret: bool = False) -> jax.Array:
     """Y = A @ X including the remainder, true row count."""
-    Y = _wellcw_spmm_padded(A, X, interpret=interpret)[: A.num_rows]
+    if interpret:
+        Y = _wellcw_spmm_padded(A, X, interpret=True)
+    else:
+        from spmv_tpu.utils.aotcache import aot_call
+
+        Y = aot_call("wellcw_spmm_padded", _wellcw_spmm_padded, (A, X))
+    Y = Y[: A.num_rows]
     if A.remainder is not None:
         from spmv_tpu.ops.spmv import spmm as _xla_spmm
 

@@ -20,6 +20,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import tempfile
+
+# Isolate the persistent compile / AOT-trace caches from the user's
+# real cache directory (utils/compilecache.py, utils/aotcache.py).
+if "SPMV_TPU_CACHE_DIR" not in os.environ:
+    os.environ["SPMV_TPU_CACHE_DIR"] = tempfile.mkdtemp(
+        prefix="spmv-tpu-test-cache-")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
