@@ -106,6 +106,42 @@ def test_profile_mode(matrix_file):
         assert key in et
     assert doc["achieved"]["gflop_per_s"] > 0
     assert doc["roofline"]["bound"] in ("memory", "compute")
+    # VERDICT r4 item 6: multi-run profiles default to one untimed
+    # warmup so run 1's compile never poisons the sample statistics.
+    assert doc["warmup"] is True
+
+
+def test_profile_warmup_default_and_override(matrix_file):
+    # single run: no auto-warmup (matches the raw reference behavior)
+    rc, text = _run(["--matrix", matrix_file, "--spmv-format", "csr",
+                     "--profile", "1"])
+    assert rc == 0 and json.loads(text)["warmup"] is False
+    # explicit opt-out with multiple runs
+    rc, text = _run(["--matrix", matrix_file, "--spmv-format", "csr",
+                     "--profile", "3", "--no-warmup"])
+    assert rc == 0 and json.loads(text)["warmup"] is False
+    # explicit opt-in with one run
+    rc, text = _run(["--matrix", matrix_file, "--spmv-format", "csr",
+                     "--profile", "1", "--warmup"])
+    assert rc == 0 and json.loads(text)["warmup"] is True
+
+
+def test_scaling_report(matrix_file):
+    """--scaling prints the assumed ICI efficiency NEXT TO its
+    breakeven (VERDICT r4 item 9): declared assumptions stay visible
+    in every user-facing multi-chip prediction."""
+    rc, text = _run(["--matrix", matrix_file, "--spmv-format", "csr",
+                     "--scaling", "2"])
+    assert rc == 0
+    doc = json.loads(text)["scaling"]
+    assert doc["num_shards"] == 2
+    assert doc["ici_efficiency_assumed"] == 0.7
+    assert "ici_efficiency_breakeven" in doc
+    assert doc["ici_efficiency_breakeven"] <= 1.0
+    assert "assumption" in doc["note"]
+    assert "breakeven" in doc["note"]
+    # triad has no matrix to shard
+    assert _run(["--triad", "64", "--scaling", "2"])[0] == 1
 
 
 def test_profile_mode_dia(matrix_file):
