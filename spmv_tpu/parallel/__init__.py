@@ -33,6 +33,12 @@ from spmv_tpu.parallel.halo_shard import (
     sharded_halo_spmv,
     make_sharded_halo_matvec,
 )
+from spmv_tpu.parallel.precond_shard import (
+    ShardedBlockJacobiIC0,
+    block_jacobi_ic0,
+    make_sharded_block_ic0_preconditioner,
+    sharded_block_ic0_apply,
+)
 from spmv_tpu.parallel.distributed import (
     initialize_distributed,
     is_multi_host,
@@ -92,6 +98,10 @@ __all__ = [
     "shard_csr_halo",
     "sharded_halo_spmv",
     "make_sharded_halo_matvec",
+    "ShardedBlockJacobiIC0",
+    "block_jacobi_ic0",
+    "make_sharded_block_ic0_preconditioner",
+    "sharded_block_ic0_apply",
     "ShardedBsrHalo",
     "shard_bsr_halo",
     "sharded_bsr_spmm",
