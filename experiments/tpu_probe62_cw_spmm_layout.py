@@ -131,31 +131,42 @@ def merged_spmm_call_v(mgrid, xt, nvec, interpret=False):
 
 out = {"kl": int(mg.kl), "d": int(mg.d)}
 
-# single-RHS merged baseline
+# single-RHS merged baseline: full vector -> vector (table build
+# included, exactly like wellcw_spmv / probe 61's measurement)
+@jax.jit
+def merged_spmv_full(x):
+    y = pk._cw_merged_call(mg, pk._cw_tables(mg, x), False)
+    return y.reshape(-1)[:N]
+
+
 x1 = jnp.asarray(rng.standard_normal(N).astype(np.float32))
-xt1 = pk._cw_tables(mg, x1)
-t1 = time_kernel(lambda t: pk._cw_merged_call(mg, t, False), (xt1,),
-                 k_small=4, k_large=48, runs=6).seconds_per_iteration
+t1 = time_kernel(merged_spmv_full, (x1,), k_small=4, k_large=48,
+                 runs=6).seconds_per_iteration
 out["k1_merged_seconds"] = t1
 print("k1 merged", t1, flush=True)
 
 for k in (2, 4, 8):
     X = jnp.asarray(rng.standard_normal((N, k)).astype(np.float32))
-    Xf = X.astype(mg.value.dtype)
-    # shipped layout for reference output
-    y_old = pk._cw_merged_spmm_call(mg, pk._cw_tables3(mg, Xf, k), k,
+
+    def new_full(Xv, k=k):
+        Y = merged_spmm_call_v(mg, cw_tables_v(mg, Xv, k), k)
+        return Y.transpose(0, 2, 1).reshape(-1, k)[:N]
+
+    def old_full(Xv, k=k):
+        Y = pk._cw_merged_spmm_call(mg, pk._cw_tables3(mg, Xv, k), k,
                                     False)
-    xt = cw_tables_v(mg, Xf, k)
-    y_new = merged_spmm_call_v(mg, xt, k)
+        return Y.transpose(0, 2, 1).reshape(-1, k)[:N]
+
+    new_full = jax.jit(new_full)
+    old_full = jax.jit(old_full)
+    y_old = old_full(X)
+    y_new = new_full(X)
     rel = float(jnp.abs(y_new - y_old).max()
                 / jnp.maximum(jnp.abs(y_old).max(), 1e-30))
-    tk = time_kernel(lambda t: merged_spmm_call_v(mg, t, k), (xt,),
-                     k_small=4, k_large=24,
+    tk = time_kernel(new_full, (X,), k_small=4, k_large=24,
                      runs=6).seconds_per_iteration
-    t_old = time_kernel(
-        lambda t: pk._cw_merged_spmm_call(mg, t, k, False),
-        (pk._cw_tables3(mg, Xf, k),), k_small=4, k_large=24,
-        runs=6).seconds_per_iteration
+    t_old = time_kernel(old_full, (X,), k_small=4, k_large=24,
+                        runs=6).seconds_per_iteration
     out[f"k{k}"] = {
         "rel_vs_old": rel,
         "new_seconds": tk,

@@ -1,0 +1,116 @@
+"""Multilevel GP partition quality (VERDICT r4 item 5).
+
+The reference's GP reorder is multilevel K-way METIS with refinement
+(matrix-market-reorder.cpp:183-279, ubvec=1.05); the round-2
+implementation was single-level BFS bisection.  These tests pin the
+multilevel + boundary-FM upgrade's measured quality: edge cut at or
+below the BFS cut everywhere, >= 20% lower on at least one irregular
+fixture, balance within ubvec, and a halo-volume
+(communication_volume) win on a sharded configuration.
+"""
+
+import numpy as np
+import pytest
+
+from spmv_tpu.io.generate import (
+    banded_random,
+    poisson2d,
+    powerlaw,
+    random_sparse,
+)
+from spmv_tpu.models import CsrMatrix
+from spmv_tpu.models.reorder import (
+    edge_cut,
+    find_new_order_gp,
+    partition_graph,
+)
+from spmv_tpu.parallel.halo import communication_volume
+
+
+def _labels_of_order(mm, new_order, num_parts):
+    """Cluster labels implied by a GP ordering: contiguous blocks of
+    the permuted row range."""
+    n = mm.num_rows
+    block = -(-n // num_parts)
+    return np.asarray(new_order) // block
+
+
+FIXTURES = [
+    ("poisson", poisson2d(48, 48)),
+    ("banded_random", banded_random(3000, 500, 6, seed=5)),
+    ("random_sparse", random_sparse(2500, 2500, 7, seed=6)),
+    ("powerlaw", powerlaw(2000, 2000, 6, seed=7)),
+]
+
+
+@pytest.mark.parametrize("name,mm", FIXTURES,
+                         ids=[f[0] for f in FIXTURES])
+def test_multilevel_cut_not_worse_than_bfs(name, mm):
+    P = 8
+    labels_ml = partition_graph(mm, P, seed=0)
+    order_bfs = find_new_order_gp(mm, P, method="bfs")
+    labels_bfs = _labels_of_order(mm, order_bfs, P)
+    cut_ml = edge_cut(mm, labels_ml)
+    cut_bfs = edge_cut(mm, labels_bfs)
+    # never more than marginally worse anywhere
+    assert cut_ml <= 1.1 * cut_bfs, (cut_ml, cut_bfs)
+
+
+def test_multilevel_beats_bfs_on_irregular():
+    """>= 20% cut reduction on at least one irregular fixture — the
+    VERDICT item's measured-quality bar."""
+    wins = {}
+    for name, mm in FIXTURES[1:]:
+        P = 8
+        labels_ml = partition_graph(mm, P, seed=0)
+        labels_bfs = _labels_of_order(
+            mm, find_new_order_gp(mm, P, method="bfs"), P)
+        cut_ml = edge_cut(mm, labels_ml)
+        cut_bfs = edge_cut(mm, labels_bfs)
+        wins[name] = 1.0 - cut_ml / max(cut_bfs, 1)
+    assert max(wins.values()) >= 0.20, wins
+
+
+def test_multilevel_balance():
+    mm = random_sparse(2000, 2000, 6, seed=8)
+    P = 8
+    labels = partition_graph(mm, P, seed=0)
+    sizes = np.bincount(labels, minlength=P)
+    assert labels.max() < P
+    # every part within the ubvec=1.05 bound (plus integer slack)
+    assert sizes.max() <= 1.05 * mm.num_rows / P + P, sizes
+
+
+def test_gp_order_reduces_halo_volume():
+    """The multilevel GP ordering lowers communication_volume's
+    halo_elements vs natural order on a sharded config — partition
+    quality priced in the same unit the sharded paths pay."""
+    mm = random_sparse(2048, 2048, 6, seed=9)
+    P = 8
+    csr = CsrMatrix.from_matrix_market(mm)
+    bounds = np.linspace(0, mm.num_rows, P + 1).astype(np.int64)
+    vol_nat = communication_volume(csr, bounds)
+
+    order = find_new_order_gp(mm, P)
+    mm_p = mm.permute(order)
+    csr_p = CsrMatrix.from_matrix_market(mm_p)
+    vol_gp = communication_volume(csr_p, bounds)
+    assert vol_gp["halo_elements"] < vol_nat["halo_elements"], (
+        vol_gp["halo_elements"], vol_nat["halo_elements"])
+
+    # and below the BFS-partition ordering's volume on this fixture
+    order_bfs = find_new_order_gp(mm, P, method="bfs")
+    vol_bfs = communication_volume(
+        CsrMatrix.from_matrix_market(mm.permute(order_bfs)), bounds)
+    assert vol_gp["halo_elements"] <= vol_bfs["halo_elements"], (
+        vol_gp["halo_elements"], vol_bfs["halo_elements"])
+
+
+def test_gp_api_compat():
+    """The __GP<n> magic-order path and default args still work."""
+    mm = poisson2d(12, 12)
+    order = find_new_order_gp(mm)
+    assert order.shape == (mm.num_rows,)
+    assert np.array_equal(np.sort(order), np.arange(mm.num_rows))
+    order2 = find_new_order_gp(mm, 4, method="bfs")
+    assert np.array_equal(np.sort(order2), np.arange(mm.num_rows))
