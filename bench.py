@@ -661,7 +661,7 @@ def _legs(on_tpu: bool, interpret: bool):
                 lambda V: generic_spmm(A, V), B, tol=0.0,
                 max_iterations=iters[1]))
             tk = slope(bk_small, bk_large, (Bk, As))
-            return {"solver": {
+            detail = {
                 "matrix": f"poisson2d_{s_grid}x{s_grid}",
                 "rows": sn,
                 "cg_us_per_iteration": t1 * 1e6,
@@ -670,7 +670,57 @@ def _legs(on_tpu: bool, interpret: bool):
                 "batched_k": k,
                 "batched_us_per_iteration": tk * 1e6,
                 "batched_throughput_vs_sequential": k * t1 / tk,
-            }}
+            }
+
+            # Streaming-regime fused CG (VERDICT r4 item 2): at 16.8M
+            # rows the diagonals stream from HBM and the p.Ap dot's
+            # separate 2-vector pass is real traffic — the fused
+            # Pallas iteration (dia_spmv_core with_dot) folds it into
+            # the matvec; the unfused control pins the drop in the
+            # same artifact (probe 60 measured ~12%).
+            if on_tpu:
+                l_grid = 4096
+                l_dia = DiaMatrix.from_matrix_market(
+                    poisson2d(l_grid, l_grid))
+                Al = DeviceDia.from_host(l_dia, dtype=jnp.float32)
+                bl = jnp.asarray(rng.standard_normal(
+                    l_dia.num_rows).astype(np.float32))
+                li = (40, 120)
+
+                def strm(fused, n_it):
+                    return _jax.jit(
+                        lambda b, A: dia_conjugate_gradient(
+                            A, b, tol=0.0, max_iterations=n_it,
+                            path="pallas", fused=fused))
+
+                def slope_l(fused):
+                    ts = []
+                    for n_it in li:
+                        fn = strm(fused, n_it)
+                        r = fn(bl, Al)
+                        float(jnp.sum(r.x))
+                        best = float("inf")
+                        for _ in range(3):
+                            t0 = time.perf_counter()
+                            r = fn(bl, Al)
+                            float(jnp.sum(r.x))
+                            best = min(best,
+                                       time.perf_counter() - t0)
+                        ts.append(best)
+                    return (ts[1] - ts[0]) / (li[1] - li[0])
+
+                t_fused = slope_l(True)
+                t_unfused = slope_l(False)
+                detail.update({
+                    "streaming_matrix":
+                        f"poisson2d_{l_grid}x{l_grid}",
+                    "streaming_rows": l_dia.num_rows,
+                    "streaming_cg_us_per_iteration": t_fused * 1e6,
+                    "streaming_cg_unfused_us_per_iteration":
+                        t_unfused * 1e6,
+                    "streaming_fused_speedup": t_unfused / t_fused,
+                })
+            return {"solver": detail}
 
         return step, (s_b, As), finish
 

@@ -341,8 +341,15 @@ def dia_conjugate_gradient(
     path: str = "auto",
     machine=None,
     recompute_every: int = 0,
+    fused: bool = True,
 ) -> CgResult:
     """CG specialized to DIA, with a size-dependent matvec path.
+
+    ``fused`` (Pallas path only): fold the p.Ap dot into the matvec
+    kernel (``dia_spmv_core(with_dot=True)``) — measured ~12% off a
+    streaming-regime iteration (probe 60).  ``fused=False`` keeps the
+    separate 2-vector dot pass; it exists as the A/B control for that
+    measurement (bench solver leg) and as an escape hatch.
 
     Measured (16.7M-row poisson): the padded-layout Pallas path runs
     one CG iteration in 1.15 ms vs 6.1 ms for the generic
@@ -414,7 +421,7 @@ def dia_conjugate_gradient(
         inv2 = jnp.where(d2 == 0, mask2, 1.0 / safe)
     res = _dia_cg_fused(
         A, b2, x02, tol, max_iterations, tile_rows, interpret,
-        recompute_every, inv2=inv2)
+        recompute_every, inv2=inv2, fused=fused)
     return CgResult(
         x=dia_extract_y(A, res.x, tile_rows),
         residual_norm=res.residual_norm,
@@ -423,7 +430,7 @@ def dia_conjugate_gradient(
 
 
 def _dia_cg_fused(A, b2, x02, tol, max_iterations, tile_rows,
-                  interpret, recompute_every, inv2=None):
+                  interpret, recompute_every, inv2=None, fused=True):
     """CG over the padded Pallas layout with the p.A p dot FUSED into
     the matvec kernel (``dia_spmv_core(with_dot=True)``): p's tile is
     already in the kernel's VMEM window, so alpha's dot skips its own
@@ -438,6 +445,9 @@ def _dia_cg_fused(A, b2, x02, tol, max_iterations, tile_rows,
                              in_place=False)
 
     def matvec_dot(p2):
+        if not fused:
+            y2 = matvec(p2)
+            return y2, jnp.vdot(p2, y2)
         y2, parts = dia_spmv_core(A, p2, tile_rows,
                                   interpret=interpret, in_place=False,
                                   with_dot=True)

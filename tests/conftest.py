@@ -24,9 +24,12 @@ import tempfile
 
 # Isolate the persistent compile / AOT-trace caches from the user's
 # real cache directory (utils/compilecache.py, utils/aotcache.py).
+# STABLE path (not per-run mkdtemp): entries are content-addressed by
+# lowered HLO + jax version, so reuse across runs is safe and makes
+# repeat suite runs compile-warm (the fast core's dominant cost).
 if "SPMV_TPU_CACHE_DIR" not in os.environ:
-    os.environ["SPMV_TPU_CACHE_DIR"] = tempfile.mkdtemp(
-        prefix="spmv-tpu-test-cache-")
+    os.environ["SPMV_TPU_CACHE_DIR"] = os.path.join(
+        tempfile.gettempdir(), "spmv-tpu-test-cache")
 
 import jax
 

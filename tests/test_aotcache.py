@@ -116,7 +116,7 @@ def test_wellcw_spmv_through_aot_cache_cpu_interpret_bypass():
     from spmv_tpu.models.wellcw import WellCwMatrix
     from spmv_tpu.ops.pallas_kernels import wellcw_spmv
 
-    mm = banded_random(512, half_bandwidth=32, nnz_per_row=4, seed=0)
+    mm = banded_random(192, half_bandwidth=16, nnz_per_row=3, seed=0)
     cw = WellCwMatrix.from_matrix_market(mm)
     A = DeviceWellCw.from_host(cw, dtype=jnp.float32)
     x = jnp.ones((cw.num_columns,), jnp.float32)

@@ -68,6 +68,7 @@ def test_all_formats_agree(name, gen):
         )
 
 
+@pytest.mark.slow
 def test_fast_spmv_agrees_with_spec_paths():
     mm = poisson2d(19, 21)
     x = jnp.asarray(

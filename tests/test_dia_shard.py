@@ -29,7 +29,10 @@ def mesh():
     return make_mesh(8)
 
 
-@pytest.mark.parametrize("shape", [(32, 32), (40, 27)])
+@pytest.mark.parametrize("shape", [
+    pytest.param((32, 32), marks=pytest.mark.slow),
+    (40, 27),
+])
 def test_sharded_matches_host(mesh, shape):
     mm = poisson2d(*shape)
     dia = DiaMatrix.from_matrix_market(mm)
@@ -97,6 +100,7 @@ def test_guards():
 # --- sharded WELL (general-matrix path) ------------------------------
 
 
+@pytest.mark.slow
 def test_sharded_well_matches_host(mesh):
     from spmv_tpu.io.generate import random_sparse
     from spmv_tpu.models import CsrMatrix
@@ -146,6 +150,7 @@ def test_sharded_well_cg(mesh):
     assert np.linalg.norm(x - x_true) / np.linalg.norm(x_true) < 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_spmm_matches_host(mesh):
     from spmv_tpu.parallel import (
         sharded_dia_spmm,

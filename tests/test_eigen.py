@@ -40,6 +40,7 @@ def test_lobpcg_smallest_matches_analytic():
     np.testing.assert_allclose(V.T @ V, np.eye(4), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_lobpcg_largest_matches_analytic():
     nx = ny = 10
     A = DeviceDia.from_host(
@@ -175,6 +176,7 @@ def test_jacobi_eigh_equal_diagonal_pair():
         np.asarray(H @ V - V * w[None, :]), 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_jacobi_eigh_random_matches_lapack():
     from spmv_tpu.ops.eigen import _jacobi_eigh
 

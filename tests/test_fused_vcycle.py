@@ -44,7 +44,9 @@ def _block_apply(hier, r_nat, n_orig, degree=3):
 @pytest.mark.parametrize("shape,smooth_levels", [
     ((16, 128), 1),   # 2048 rows, exactly aligned, 1 smoothed level
     ((16, 128), 0),   # plain-P0 hierarchy (no composition matvecs)
-    ((32, 512), 1),   # 16384 rows, 3 levels deep
+    # 16384 rows, 3 levels deep — the deep case compiles ~12 s, so it
+    # rides with the slow suite (coverage moved, not deleted)
+    pytest.param((32, 512), 1, marks=pytest.mark.slow),
 ])
 def test_fused_matches_block_vcycle(shape, smooth_levels):
     mm = poisson2d(*shape)

@@ -42,7 +42,7 @@ def _dense_spmv(mm, x):
 
 
 @pytest.mark.parametrize("gen,kw", [
-    (poisson2d, dict()),                 # banded -> neighbor exchange
+    pytest.param(poisson2d, dict(), marks=pytest.mark.slow),
     (random_sparse, dict(seed=7)),       # scattered -> all2all
 ])
 def test_halo_matches_allgather_and_host(mesh, gen, kw):

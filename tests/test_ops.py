@@ -298,6 +298,7 @@ def test_batched_cg_jacobi_and_replacement():
             recompute_every=-1)
 
 
+@pytest.mark.slow
 def test_dia_batched_cg_paths():
     from spmv_tpu.models import DiaMatrix
     from spmv_tpu.models.device import DeviceDia

@@ -37,9 +37,9 @@ def _labels_of_order(mm, new_order, num_parts):
 
 FIXTURES = [
     ("poisson", poisson2d(48, 48)),
-    ("banded_random", banded_random(3000, 500, 6, seed=5)),
-    ("random_sparse", random_sparse(2500, 2500, 7, seed=6)),
-    ("powerlaw", powerlaw(2000, 2000, 6, seed=7)),
+    ("banded_random", banded_random(1500, 300, 6, seed=5)),
+    ("random_sparse", random_sparse(1600, 1600, 7, seed=6)),
+    ("powerlaw", powerlaw(1200, 1200, 6, seed=7)),
 ]
 
 

@@ -16,6 +16,7 @@ reported residual then tracks the truth.  These tests pin:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spmv_tpu.io.generate import poisson2d
 from spmv_tpu.models import CsrMatrix
@@ -85,6 +86,7 @@ def test_replacement_matches_plain_in_f64():
     assert _true_rel(m, b, rep.x) <= 1e-9
 
 
+@pytest.mark.slow
 def test_replacement_in_pcg_and_dia():
     from spmv_tpu.models.dia import DiaMatrix
     from spmv_tpu.models.device import DeviceDia

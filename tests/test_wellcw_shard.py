@@ -107,6 +107,7 @@ def test_sharded_cg(mesh):
     assert rel < 1e-6, (rel, int(res.iterations))
 
 
+@pytest.mark.slow
 def test_single_shard_and_guards(mesh):
     mm = random_sparse(500, 500, 5, seed=7)
     m = CsrMatrix.from_matrix_market(mm)
