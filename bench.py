@@ -431,7 +431,44 @@ def _legs(on_tpu: bool, interpret: bool):
                 cw_bytes, 2 * cw.num_entries, machine=machine,
                 dtype="float32", resident_rw_bytes=2 * 4 * cw_n,
             )
+            spmm_detail = {}
+            if on_tpu:
+                # Multi-RHS on the scattered format (VERDICT r4
+                # item 3): per-RHS-contiguous tables make the SpMM
+                # ~0.9x per-nnz of the single-RHS kernel at k=8
+                # (probes 61/62/62c) — the scattered format's best
+                # multi-RHS path, though no DIA-style stream
+                # amortization exists (gather VALU scales with
+                # k*nnz).
+                from spmv_tpu.ops.pallas_kernels import wellcw_spmm
+
+                k_rhs = 8
+                Xcw = jnp.asarray(rng.standard_normal(
+                    (cw.num_columns, k_rhs)).astype(np.float32))
+                Ycw = wellcw_spmm(Acw, Xcw)
+                got = float(jnp.abs(Ycw).sum())
+                want = float(np.abs(cw.spmm(
+                    np.asarray(Xcw, np.float64))).sum())
+                mm_rel = abs(got - want) / want
+                if mm_rel > CHECKSUM_RTOL:
+                    spmm_detail["wellcw_spmm_error"] = (
+                        f"checksum rel err {mm_rel}")
+                else:
+                    t_mm = time_kernel(
+                        lambda X: wellcw_spmm(Acw, X), (Xcw,),
+                        k_small=4, k_large=24, runs=6,
+                    ).seconds_per_iteration
+                    spmm_detail = {
+                        "wellcw_spmm_k": k_rhs,
+                        "wellcw_spmm_checksum_rel_err": mm_rel,
+                        "wellcw_spmm_seconds": t_mm,
+                        "wellcw_spmm_eff_gnnz_per_s":
+                            cw.num_entries * k_rhs / t_mm / 1e9,
+                        "wellcw_spmm_per_nnz_vs_spmv":
+                            (t_mm / k_rhs) / t_cw,
+                    }
             return {
+                **spmm_detail,
                 "wellcw_matrix": f"banded_random_{cw_n}x{cw_n}",
                 "wellcw_nnz": cw.num_entries,
                 "wellcw_fill_ratio": cw.fill_ratio,

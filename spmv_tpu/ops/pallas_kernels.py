@@ -1600,44 +1600,108 @@ def _cw_merged_call(mg, xt, interpret):
     )(mg.anchor4, xt, mg.value, mg.local_index)
 
 
+# Chunks unrolled per fori_loop body in the merged SpMM kernel: the
+# fully-unrolled kl*d*nvec program costs ~6/18 MINUTES of Mosaic
+# compile at kl=144, k=2/4 (probe 62); a full roll compiles in ~36 s
+# but loses cross-chunk overlap (2.0x per-nnz, probe 62b).  U=16
+# keeps ~92% of the unrolled kernel's throughput (per-nnz 0.83 vs
+# 0.76 at k=4) at ~30 s compile (probe 62c sweep: U4 1.08 / U8 0.91
+# / U16 0.83).
+_CW_SPMM_UNROLL = 16
+
+
 def _cw_merged_spmm_kernel(ws_ref, x_ref, v_ref, l_ref, y_ref, *, d,
-                           kl, cap, lvl_per, nvec, dtype):
-    row_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (64, nvec, LANE), 0)
-    acc_blk = jnp.zeros((64, nvec, LANE), dtype=dtype)
-    for kk in range(kl):
+                           kl, cap, lvl_per, nvec, dtype,
+                           unroll=_CW_SPMM_UNROLL):
+    """Merged-grid SpMM: level region [0, lvl_per) then pool region
+    [lvl_per, kl), each as a partially-unrolled lax.fori_loop over
+    chunks (non-aligned remainders peel off as unrolled epilogues).
+    ``unroll >= kl`` degenerates to the fully-unrolled body (used in
+    interpret mode, where a traced fori_loop is pathologically slow
+    to execute eagerly)."""
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (64, LANE), 0)
+
+    def chunk_acc(kk, v):
         a4 = ws_ref[0, 0, kk]
         locv = l_ref[kk]
         llane = locv & (LANE - 1)
-        sel = jnp.broadcast_to(
-            ((locv >> 7) & (d - 1))[:, None, :],
-            (SUBLANE, nvec, LANE))
-        val = v_ref[kk][:, None, :]
-        g = jnp.zeros((SUBLANE, nvec, LANE), dtype=dtype)
+        sel = (locv >> 7) & (d - 1)
+        g = jnp.zeros((SUBLANE, LANE), dtype=dtype)
         for p in range(d):
-            T = x_ref[p, pl.ds(a4, SUBLANE), :, :]
-            gthr = jnp.stack(
-                [jnp.take_along_axis(T[:, v, :], llane, axis=1)
-                 for v in range(nvec)], axis=1)
+            T = x_ref[p, v, pl.ds(a4, SUBLANE), :]
+            gthr = jnp.take_along_axis(T, llane, axis=1)
             g = g + jnp.where(sel == p, gthr, jnp.zeros_like(gthr))
-        acc = val * g
-        if kk < lvl_per:
+        return v_ref[kk] * g, locv
+
+    def level_chunk(kk, accs):
+        out = list(accs)
+        for v in range(nvec):
+            acc, _ = chunk_acc(kk, v)
             strip = jnp.sum(acc, axis=0, keepdims=True)
-            acc_blk = acc_blk + jnp.where(
+            out[v] = out[v] + jnp.where(
                 row_iota == (kk // cap),
-                jnp.broadcast_to(strip, (64, nvec, LANE)),
-                jnp.zeros((64, nvec, LANE), dtype=dtype),
-            )
-        else:
+                jnp.broadcast_to(strip, (64, LANE)),
+                jnp.zeros((64, LANE), dtype=dtype))
+        return tuple(out)
+
+    def pool_chunk(kk, accs):
+        out = list(accs)
+        for v in range(nvec):
+            acc, locv = chunk_acc(kk, v)
             rm = locv >> 14
+            a = out[v]
             for s in range(SUBLANE):
-                acc_blk = acc_blk + jnp.where(
-                    row_iota == rm[s][None, None, :],
-                    jnp.broadcast_to(acc[s][None],
-                                     (64, nvec, LANE)),
-                    jnp.zeros((64, nvec, LANE), dtype=dtype),
-                )
-    y_ref[:] = acc_blk
+                a = a + jnp.where(
+                    row_iota == rm[s][None, :],
+                    jnp.broadcast_to(acc[s][None, :], (64, LANE)),
+                    jnp.zeros((64, LANE), dtype=dtype))
+            out[v] = a
+        return tuple(out)
+
+    def run_region(lo, hi, chunk_fn, accs):
+        U = unroll
+        span = hi - lo
+        if U >= span:                      # fully-unrolled degenerate
+            for kk in range(lo, hi):
+                accs = chunk_fn(kk, accs)
+            return accs
+        steps = span // U
+
+        def body(s, accs):
+            for u in range(U):
+                accs = chunk_fn(lo + s * U + u, accs)
+            return accs
+
+        if steps > 0:
+            accs = jax.lax.fori_loop(0, steps, body, accs)
+        for kk in range(lo + steps * U, hi):   # peeled remainder
+            accs = chunk_fn(kk, accs)
+        return accs
+
+    accs = tuple(jnp.zeros((64, LANE), dtype=dtype)
+                 for _ in range(nvec))
+    accs = run_region(0, lvl_per, level_chunk, accs)
+    accs = run_region(lvl_per, kl, pool_chunk, accs)
+    for v in range(nvec):
+        y_ref[:, v, :] = accs[v]
+
+
+def _cw_spmm_params(xt, k, nvec, out_rows_total, dtype):
+    """Explicit scoped-VMEM limit for the multi-RHS CW calls: the
+    whole-x tables (up to 64 MB under the guard) plus double-buffered
+    value/index tiles, the output (the TPU allocator has been seen
+    stack-allocating the FULL (padded, nvec, LANE) result inside
+    chained while-loops, 34.9 MB at k=8/1M rows), and slack must all
+    fit — the environment's DEFAULT scoped limit is 16 MB and rejects
+    any k >= 4 at 1M columns (same failure mode as the round-3 BSR
+    whole-X OOM, BENCH_r03)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    xbytes = int(xt.size) * itemsize
+    tiles = 2 * k * SUBLANE * LANE * (itemsize + 4)
+    ybytes = out_rows_total * nvec * LANE * itemsize
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(xbytes + tiles + ybytes
+                             + 12 * 1024 * 1024))
 
 
 def _cw_merged_spmm_call(mg, xt, nvec, interpret):
@@ -1645,6 +1709,7 @@ def _cw_merged_spmm_call(mg, xt, nvec, interpret):
     kernel = functools.partial(
         _cw_merged_spmm_kernel, d=mg.d, kl=kl, cap=mg.cap,
         lvl_per=mg.lvl_per_block, nvec=nvec, dtype=mg.value.dtype,
+        unroll=(kl if interpret else _CW_SPMM_UNROLL),
     )
     return pl.pallas_call(
         kernel,
@@ -1670,6 +1735,9 @@ def _cw_merged_spmm_call(mg, xt, nvec, interpret):
         out_shape=jax.ShapeDtypeStruct(
             (mg.num_blocks * 64, nvec, LANE), mg.value.dtype
         ),
+        compiler_params=_cw_spmm_params(xt, kl, nvec,
+                                        mg.num_blocks * 64,
+                                        mg.value.dtype),
         interpret=interpret,
     )(mg.anchor4, xt, mg.value, mg.local_index)
 
@@ -1696,11 +1764,16 @@ def _cw_vmem_guard(A, nvec=1):
     xbytes = max(
         xr4 * d for xr4, d in sources
     ) * LANE * nvec * _cw_value_dtype(A).itemsize
-    if xbytes > 8 * 1024 * 1024:
+    # 64 MB leaves >= half of v5e's 128 MB VMEM for value/index tiles
+    # and the y block; k=8 at 1M columns (33 MB of tables) ran clean
+    # in probes 61/62.  (The old 8 MB bound predated SpMM and blocked
+    # every multi-RHS call at the cliff scale.)
+    if xbytes > 64 * 1024 * 1024:
         raise MatrixError(
-            f"x ({xbytes/1e6:.0f} MB padded) exceeds the WELL-CW "
-            "whole-x VMEM budget; shard the matrix "
-            "(spmv_tpu.parallel) or use DIA/WELL segmented paths"
+            f"x ({xbytes/1e6:.0f} MB padded, all {nvec} RHS) exceeds "
+            "the WELL-CW whole-x VMEM budget; shard the matrix "
+            "(spmv_tpu.parallel), split the RHS block, or use "
+            "DIA/WELL segmented paths"
         )
 
 
@@ -1765,42 +1838,42 @@ def _cw_spmm_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref,
         i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
     )
     row_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (out_rows, nvec, LANE), 0
-    )
-    acc_blk = jnp.zeros((out_rows, nvec, LANE), dtype=dtype)
+        jnp.int32, (out_rows, LANE), 0)
+    accs = [jnp.zeros((out_rows, LANE), dtype=dtype)
+            for _ in range(nvec)]
     for kk in range(k):
         a4 = ws_ref[0, 0, kk]
         locv = l_ref[kk]
         llane = locv & (LANE - 1)                    # (8, LANE)
-        sel = jnp.broadcast_to(
-            ((locv >> 7) & (d - 1))[:, None, :], (SUBLANE, nvec, LANE)
-        )
-        val = v_ref[kk][:, None, :]
-        acc = jnp.zeros((SUBLANE, nvec, LANE), dtype=dtype)
-        for p in range(d):
-            T = x_ref[p, pl.ds(a4, SUBLANE), :, :]   # (8, nvec, LANE)
-            # Mosaic only lowers 2-D gathers: shuffle one vector
-            # column at a time (nvec is small and static)
-            gthr = jnp.stack(
-                [jnp.take_along_axis(T[:, v, :], llane, axis=1)
-                 for v in range(nvec)], axis=1)      # (8, nvec, LANE)
-            acc = acc + jnp.where(sel == p, val * gthr,
-                                  jnp.zeros_like(gthr))
-        strip = jnp.sum(acc, axis=0, keepdims=True)  # (1, nvec, LANE)
+        sel = (locv >> 7) & (d - 1)
+        val = v_ref[kk]
         grow = grp_ref[0, 0, kk] % out_rows
-        acc_blk = acc_blk + jnp.where(
-            row_iota == grow,
-            jnp.broadcast_to(strip, (out_rows, nvec, LANE)),
-            jnp.zeros((out_rows, nvec, LANE), dtype=dtype),
-        )
+        for v in range(nvec):
+            g = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+            for p in range(d):
+                # per-RHS-contiguous table: the gather is the SpMV
+                # gather (see _cw_tables3; probe 61/62 measured the
+                # old strided slice at 2.2-3.8x worse per-nnz)
+                T = x_ref[p, v, pl.ds(a4, SUBLANE), :]
+                gthr = jnp.take_along_axis(T, llane, axis=1)
+                g = g + jnp.where(sel == p, gthr,
+                                  jnp.zeros_like(gthr))
+            strip = jnp.sum(val * g, axis=0, keepdims=True)
+            accs[v] = accs[v] + jnp.where(
+                row_iota == grow,
+                jnp.broadcast_to(strip, (out_rows, LANE)),
+                jnp.zeros((out_rows, LANE), dtype=dtype),
+            )
 
     @pl.when(first)
     def _():
-        y_ref[:] = acc_blk
+        for v in range(nvec):
+            y_ref[:, v, :] = accs[v]
 
     @pl.when(jnp.logical_not(first))
     def _():
-        y_ref[:] += acc_blk
+        for v in range(nvec):
+            y_ref[:, v, :] += accs[v]
 
 
 def _cw_pool_spmm_kernel(blk_ref, ws_ref, x_ref, v_ref, l_ref,
@@ -1811,27 +1884,30 @@ def _cw_pool_spmm_kernel(blk_ref, ws_ref, x_ref, v_ref, l_ref,
         i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)]
     )
     row_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (out_rows, nvec, LANE), 0
-    )
+        jnp.int32, (out_rows, nvec, LANE), 0)
     base = blk_ref[i] * out_rows
     acc_blk = jnp.zeros((out_rows, nvec, LANE), dtype=dtype)
     for kk in range(k):
         a4 = ws_ref[0, 0, kk]
         locv = l_ref[kk]
         llane = locv & (LANE - 1)                   # (8, LANE)
-        sel = jnp.broadcast_to(
-            ((locv >> 7) & (d - 1))[:, None, :], (SUBLANE, nvec, LANE)
-        )
-        val = v_ref[kk][:, None, :]
-        acc = jnp.zeros((SUBLANE, nvec, LANE), dtype=dtype)
-        for p in range(d):
-            T = x_ref[p, pl.ds(a4, SUBLANE), :, :]
-            gthr = jnp.stack(
-                [jnp.take_along_axis(T[:, v, :], llane, axis=1)
-                 for v in range(nvec)], axis=1)     # (8, nvec, LANE)
-            acc = acc + jnp.where(sel == p, val * gthr,
-                                  jnp.zeros_like(gthr))
+        sel = (locv >> 7) & (d - 1)
+        val = v_ref[kk]
         rm = rm_ref[kk] - base                      # (8, LANE)
+        # GATHER per RHS on the contiguous tables (the probe-61 fix);
+        # SCATTER stays the stacked 3-D form — the per-v scatter
+        # variant made XLA's CPU compile (interpret-mode tests)
+        # pathologically slow (~7 min for a 700-row fixture).
+        gs = []
+        for v in range(nvec):
+            g = jnp.zeros((SUBLANE, LANE), dtype=dtype)
+            for p in range(d):
+                T = x_ref[p, v, pl.ds(a4, SUBLANE), :]
+                gthr = jnp.take_along_axis(T, llane, axis=1)
+                g = g + jnp.where(sel == p, gthr,
+                                  jnp.zeros_like(gthr))
+            gs.append(val * g)
+        acc = jnp.stack(gs, axis=1)                 # (8, nvec, LANE)
         for sl in range(SUBLANE):
             acc_blk = acc_blk + jnp.where(
                 row_iota == rm[sl][None, None, :],
@@ -1885,18 +1961,33 @@ def _cw_pool_spmm_call(pool, xt, padded_groups, out_rows, nvec,
         out_shape=jax.ShapeDtypeStruct(
             (padded_groups, nvec, LANE), pool.value.dtype
         ),
+        compiler_params=_cw_spmm_params(xt, k, nvec, padded_groups,
+                                        pool.value.dtype),
         interpret=interpret,
     )(pool.block_of_step, pool.anchor4,
       xt, pool.value, pool.local_index, pool.rowmap)
 
 
-def _cw_tables3(src, Xf, nvec):
-    """Stride-d tables for SpMM: (d, xr4, nvec, LANE)."""
+def _cw_tables3(src, XT, nvec):
+    """PER-RHS-CONTIGUOUS stride-d tables for SpMM:
+    (d, nvec, xr4, LANE).
+
+    The round-4 layout was (d, xr4, nvec, LANE), making the kernels
+    slice ``T[:, v, :]`` — a stride-nvec sublane view Mosaic had to
+    relayout before EVERY gather, pricing the SpMM at 2.2-3.8x worse
+    per-nnz than repeated SpMV (probe 61).  With each RHS contiguous,
+    the per-RHS gather is byte-identical to the proven SpMV gather
+    and the chunk's index decode + A-value loads amortize over k:
+    measured per-nnz 0.92x (k=2) / 0.76x (k=4) of single-RHS
+    (probe 62)."""
     d, xr4 = src.d, src.xr4
-    x3d = jnp.pad(
-        Xf, ((0, xr4 * d * LANE - Xf.shape[0]), (0, 0))
-    ).reshape(xr4 * d, LANE, nvec).transpose(0, 2, 1)
-    return jnp.stack([x3d[p::d] for p in range(d)])
+    # XT is the pre-transposed (nvec, n) X — the 16 MB-per-RHS-block
+    # relayout happens ONCE in _wellcw_spmm_padded, not per source
+    # (merged + pool + tail pools each build their own tables).
+    pad = xr4 * d * LANE - XT.shape[1]
+    x3d = jnp.pad(XT, ((0, 0), (0, pad)))
+    x3d = x3d.reshape(nvec, xr4 * d, LANE)
+    return jnp.stack([x3d[:, p::d, :] for p in range(d)])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1906,18 +1997,16 @@ def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
     out_rows = SUBLANE * A.blocks_per_out
     padded_groups = round_up(A.num_groups, out_rows)
     Xf = X.astype(_cw_value_dtype(A))
+    XT = Xf.T
     y = None
     if A.merged is not None:
         y = _cw_merged_spmm_call(
-            A.merged, _cw_tables3(A.merged, Xf, nvec), nvec,
+            A.merged, _cw_tables3(A.merged, XT, nvec), nvec,
             interpret)
         padded_groups = y.shape[0]
     for lvl in A.levels:
-        d, xr4 = lvl.d, lvl.xr4
-        x3d = jnp.pad(
-            Xf, ((0, xr4 * d * LANE - X.shape[0]), (0, 0))
-        ).reshape(xr4 * d, LANE, nvec).transpose(0, 2, 1)
-        xt = jnp.stack([x3d[p::d] for p in range(d)])
+        d = lvl.d
+        xt = _cw_tables3(lvl, XT, nvec)
         k = lvl.chunks_per_step
         steps = lvl.num_chunks // k
         kernel = functools.partial(
@@ -1951,18 +2040,21 @@ def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
             out_shape=jax.ShapeDtypeStruct(
                 (padded_groups, nvec, LANE), lvl.value.dtype
             ),
+            compiler_params=_cw_spmm_params(xt, k, nvec,
+                                            padded_groups,
+                                            lvl.value.dtype),
             interpret=interpret,
         )(lvl.block_of_step, lvl.anchor4, lvl.group_of_chunk,
           xt, lvl.value, lvl.local_index)
         y = y3d if y is None else y + y3d
     if A.pool is not None:
-        xt = _cw_tables3(A.pool, Xf, nvec)
+        xt = _cw_tables3(A.pool, XT, nvec)
         y3d = _cw_pool_spmm_call(A.pool, xt, padded_groups, out_rows,
                                  nvec, interpret)
         y = y3d if y is None else y + y3d
     for tp in A.tail_pools:
         tg = round_up(A.num_groups, tp.out_rows)
-        y3d = _cw_pool_spmm_call(tp, _cw_tables3(tp, Xf, nvec), tg,
+        y3d = _cw_pool_spmm_call(tp, _cw_tables3(tp, XT, nvec), tg,
                                  tp.out_rows, nvec, interpret)
         pad = padded_groups - y3d.shape[0]
         if pad > 0:
