@@ -37,7 +37,7 @@ N = 1 << 17
 K = 128
 
 print("device:", jax.devices()[0], "jax", jax.__version__, flush=True)
-mm = block_random(N, nnz_per_row=128, block=128, seed=4)
+mm = block_random(N, N, 8, seed=2)  # the driver BSR shape
 host = BsrMatrix.from_matrix_market(mm, block_rows=128)
 A = DeviceBsr.from_host(host, dtype=jnp.float32)
 rng = np.random.default_rng(0)
