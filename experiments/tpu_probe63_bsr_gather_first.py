@@ -18,8 +18,16 @@ Either way the result pins the ceiling with a toolchain fingerprint:
 jax/jaxlib 0.9.0, libtpu 0.0.34 — re-measure when these move.
 """
 
+import ctypes
 import functools
 import json
+
+try:  # bench._tune_malloc: first-touch faults are ~5 ms/MB here
+    _libc = ctypes.CDLL(None, use_errno=True)
+    _libc.mallopt(-3, 1 << 30)
+    _libc.mallopt(-1, 1 << 30)
+except Exception:
+    pass
 
 import jax
 import jax.numpy as jnp
@@ -37,9 +45,14 @@ N = 1 << 17
 K = 128
 
 print("device:", jax.devices()[0], "jax", jax.__version__, flush=True)
+import time as _t
+_t0 = _t.perf_counter()
 mm = block_random(N, N, 8, seed=2)  # the driver BSR shape
+print("gen done", _t.perf_counter()-_t0, flush=True)
 host = BsrMatrix.from_matrix_market(mm, block_rows=128)
+print("bsr done", _t.perf_counter()-_t0, flush=True)
 A = DeviceBsr.from_host(host, dtype=jnp.float32)
+print("device put done", _t.perf_counter()-_t0, flush=True)
 rng = np.random.default_rng(0)
 X = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32))
 flops = 2.0 * mm.num_entries * K
