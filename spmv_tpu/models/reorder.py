@@ -239,13 +239,23 @@ def _edge_cut(ptr, adj, wgt, labels) -> int:
     return int(wgt[cross].sum() // 2)
 
 
-def _heavy_edge_matching(ptr, adj, wgt, vwgt, rng):
-    """Greedy heavy-edge matching; returns coarse-node map (n,)."""
+def _heavy_edge_matching(ptr, adj, wgt, vwgt, rng, native=True):
+    """Greedy heavy-edge matching; returns coarse-node map (n,).
+
+    The per-node loop runs through csrc/partition.cpp when available
+    (same visit order, bit-identical output — pinned by test); the
+    Python loop below is the reference implementation and fallback.
+    """
     n = ptr.size - 1
-    match = np.full(n, -1, dtype=np.int64)
     order = rng.permutation(n)
     # visit light vertices first (standard HEM tie-break)
     order = order[np.argsort(vwgt[order], kind="stable")]
+    if native:
+        from spmv_tpu.models import _partition_native as pn
+
+        if pn.available():
+            return pn.hem_match(ptr, adj, wgt, order)
+    match = np.full(n, -1, dtype=np.int64)
     for u in order:
         if match[u] >= 0:
             continue
@@ -337,6 +347,12 @@ def _fm_refine(ptr, adj, wgt, vwgt, side, ubvec=1.05, passes=4,
     total = int(vwgt.sum())
     limit_b = ubvec * total * frac          # side True budget
     limit_a = ubvec * total * (1.0 - frac)  # side False budget
+    from spmv_tpu.models import _partition_native as pn
+
+    if pn.available():
+        # same algorithm, C++ heap loop (csrc/partition.cpp)
+        return pn.fm_refine(ptr, adj, wgt, vwgt, side, limit_a,
+                            limit_b, passes=passes)
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
 
     for _ in range(passes):

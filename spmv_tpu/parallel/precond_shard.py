@@ -97,8 +97,13 @@ def _diag_block(m: CsrMatrix, b0: int, b1: int, R: int) -> CsrMatrix:
     rows = np.concatenate([rows, pad])
     c = np.concatenate([c, pad])
     v = np.concatenate([v, np.ones(pad.size)])
-    order = np.lexsort((c, rows))
-    rows, c, v = rows[order], c[order], v[order]
+    # aggregate duplicates (row-aligned CSRs pad with (col 0, 0.0)
+    # entries, csr-matrix.cpp:232-236 — they'd otherwise duplicate
+    # block 0's first-column pattern entries)
+    key = rows * R + c
+    uniq, inv = np.unique(key, return_inverse=True)
+    v = np.bincount(inv, weights=v)
+    rows, c = uniq // R, uniq % R
     rp_l = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(np.bincount(rows, minlength=R), out=rp_l[1:])
     return CsrMatrix(

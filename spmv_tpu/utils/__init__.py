@@ -11,5 +11,8 @@ reimplemented here so the report shapes match.
 
 from spmv_tpu.utils.sample import Sample, compute_sample
 from spmv_tpu.utils.jsonio import dump_json, json_dumps
+from spmv_tpu.utils.compilecache import enable_persistent_cache
+from spmv_tpu.utils.aotcache import aot_call
 
-__all__ = ["Sample", "compute_sample", "dump_json", "json_dumps"]
+__all__ = ["Sample", "compute_sample", "dump_json", "json_dumps",
+           "enable_persistent_cache", "aot_call"]

@@ -106,6 +106,55 @@ def test_gp_order_reduces_halo_volume():
         vol_gp["halo_elements"], vol_bfs["halo_elements"])
 
 
+def test_native_matches_python():
+    """csrc/partition.cpp mirrors the Python matching/FM loops:
+    identical coarse maps for the same visit order, and FM reaches a
+    cut no worse than the Python pass on the same start."""
+    from spmv_tpu.models import _partition_native as pn
+    from spmv_tpu.models.reorder import (
+        _bfs_bisect_w,
+        _edge_cut,
+        _fm_refine,
+        _heavy_edge_matching,
+        _sym_csr,
+    )
+
+    if not pn.available():
+        pytest.skip("native partition lib unavailable")
+    mm = random_sparse(600, 600, 6, seed=11)
+    ptr, adj, wgt = _sym_csr(mm)
+    n = ptr.size - 1
+    vwgt = np.ones(n, dtype=np.int64)
+
+    rng1 = np.random.default_rng(3)
+    rng2 = np.random.default_rng(3)
+    cid_n, nc_n = _heavy_edge_matching(ptr, adj, wgt, vwgt, rng1,
+                                       native=True)
+    cid_p = _heavy_edge_matching(ptr, adj, wgt, vwgt, rng2,
+                                 native=False)[0]
+    np.testing.assert_array_equal(cid_n, cid_p)
+
+    side0 = _bfs_bisect_w(ptr, adj, vwgt, np.random.default_rng(4))
+    lab0 = side0.astype(np.int64)
+    cut0 = _edge_cut(ptr, adj, wgt, lab0)
+    side_n = pn.fm_refine(ptr, adj, wgt, vwgt, side0.copy(),
+                          1.05 * n / 2, 1.05 * n / 2, passes=4)
+    cut_n = _edge_cut(ptr, adj, wgt, side_n.astype(np.int64))
+    assert cut_n <= cut0
+    # python pass from the same start also improves; both land close
+    import spmv_tpu.models._partition_native as mod
+    saved = mod.available
+    mod.available = lambda: False
+    try:
+        side_p = _fm_refine(ptr, adj, wgt, vwgt, side0.copy(),
+                            ubvec=1.05, passes=4)
+    finally:
+        mod.available = saved
+    cut_p = _edge_cut(ptr, adj, wgt, side_p.astype(np.int64))
+    assert cut_p <= cut0
+    assert cut_n <= 1.1 * cut_p + 8
+
+
 def test_gp_api_compat():
     """The __GP<n> magic-order path and default args still work."""
     mm = poisson2d(12, 12)
