@@ -196,6 +196,13 @@ def _dia_window_schedule(j, active, fb, nb, window_dma, in_place):
 def _dia_kernel(x_hbm, d_ref, y_ref, *rest, offsets, plan, dtype,
                 in_place=False, with_dot=False):
     dot_ref = rest[0] if with_dot else None
+    if with_dot:
+        _dot_dt = (dtype if jnp.dtype(dtype).itemsize >= 4
+                   else jnp.float32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dot_ref[:] = jnp.zeros((SUBLANE, LANE), _dot_dt)
     win, sems = rest[-2], rest[-1]
     w = plan.tile_rows
     fb, nb, wr = plan.front_blocks, plan.num_tiles, plan.window_rows
@@ -238,23 +245,23 @@ def _dia_kernel(x_hbm, d_ref, y_ref, *rest, offsets, plan, dtype,
         y_ref[:] = acc.astype(dtype)
         if with_dot:
             # Fused <x, A x> partial (lane-wise; the host sums the
-            # tiny (grid, LANE) output): x's own tile is already in
-            # the VMEM window, so CG's p.Ap dot costs nothing here vs
-            # a separate 2-vector HBM pass (~12% of a streaming
+            # tiny (8, LANE) output): x's own tile is already in the
+            # VMEM window, so CG's p.Ap dot costs nothing here vs a
+            # separate 2-vector HBM pass (~12% of a streaming
             # iteration, probe 60).  Accumulated in acc_dt so f64
             # data keeps a double-precision p.Ap (bf16 storage still
-            # dots in f32).
+            # dots in f32).  All grid steps revisit ONE (8, LANE)
+            # block (index map (0, 0)) and accumulate into row 0 —
+            # a per-step (1, LANE) output block violates Mosaic's
+            # sublane-divisibility rule.
             x_tile = win[slot, pl.ds(-plan.smin_row, w), :].astype(
                 acc_dt)
-            dot_ref[0, :] = jnp.sum(x_tile * acc, axis=0)
+            dot_ref[0, :] = dot_ref[0, :] + jnp.sum(x_tile * acc,
+                                                    axis=0)
 
     @pl.when(jnp.logical_not(active))
     def _():
         y_ref[:] = jnp.zeros((w, LANE), dtype=dtype)
-        if with_dot:
-            acc_dt = (dtype if jnp.dtype(dtype).itemsize >= 4
-                      else jnp.float32)
-            dot_ref[0, :] = jnp.zeros((LANE,), acc_dt)
 
 
 def _dia_in_place_ok(plan: DiaPlan) -> bool:
@@ -335,10 +342,14 @@ def dia_spmv_core(
     if with_dot:
         dot_dt = (data.dtype if jnp.dtype(data.dtype).itemsize >= 4
                   else jnp.float32)
+        # ONE revisited (8, LANE) accumulator tile — every grid step
+        # maps to block (0, 0) and adds into row 0 (a (1, LANE)
+        # per-step block trips Mosaic's sublane-divisibility rule)
         out_shape = (out_shape, jax.ShapeDtypeStruct(
-            (plan.grid, LANE), dot_dt))
+            (SUBLANE, LANE), dot_dt))
         out_specs = (out_specs, pl.BlockSpec(
-            (1, LANE), lambda j: (j, 0), memory_space=pltpu.VMEM))
+            (SUBLANE, LANE), lambda j: (0, 0),
+            memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=(plan.grid,),
