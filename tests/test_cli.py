@@ -280,6 +280,19 @@ def test_profile_spmm_mode(matrix_file):
     assert doc["achieved"]["gflop_per_s"] > 0
 
 
+def test_profile_spmm_wellcw_pallas_path(matrix_file):
+    """--spmm on the wellcw kernel runs the Pallas per-RHS-contiguous
+    SpMM (round 5), not the XLA spec path."""
+    rc, text = _run(
+        ["--matrix", matrix_file, "--spmv-format", "wellcw",
+         "--profile", "2", "--spmm", "2"]
+    )
+    assert rc == 0
+    doc = json.loads(text)
+    assert doc["op"] == {"kind": "spmm", "k": 2}
+    assert doc["kernel"]["matrix_format"] == "wellcw"
+
+
 def test_profile_spmm_rejects_triad():
     assert _run(["--triad", "64", "--profile", "2", "--spmm", "2"])[0] == 1
 
