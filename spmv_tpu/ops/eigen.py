@@ -152,6 +152,7 @@ def lobpcg(
     tol: float = 1e-6,
     max_iterations: int = 200,
     gram_eps: float = None,
+    mask: jax.Array = None,
 ) -> EigResult:
     """k extreme eigenpairs of the SPD operator behind ``matmat``.
 
@@ -211,18 +212,29 @@ def lobpcg(
         # diverges (measured: 1e19-scale "eigenvalues" on TPU f32).
         gram_eps = float(np.finfo(np.dtype(dtype)).eps) * 1e3
     sign = -1.0 if largest else 1.0
+    if mask is not None:
+        mask = jnp.asarray(mask, dtype).reshape(-1, 1)
+        X0 = X0 * mask
     return _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
-                        max_iterations, gram_eps, sign, n, k, dtype)
+                        max_iterations, gram_eps, sign, n, k, dtype,
+                        mask)
 
 
 def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
-                 max_iterations, gram_eps, sign, n, k, dtype):
+                 max_iterations, gram_eps, sign, n, k, dtype,
+                 row_mask=None):
     # Orthonormalize X0 and seed P with random directions so the
-    # (n, 3k) basis has full column count from step one.
+    # (n, 3k) basis has full column count from step one.  ``mask``
+    # (optional (n, 1) 0/1) confines the basis to the real rows of a
+    # PADDED layout (e.g. the sharded stacked (P, R) vectors):
+    # without it the random directions alias the operator's padding
+    # null-space and surface as spurious zero eigenvalues.
     cX, _ = _ortho_coeffs(_mmh(X0.T, X0), gram_eps)
     X = _mmh(X0, cX)
     key = jax.random.PRNGKey(0)
     P = jax.random.normal(key, (n, k), dtype)
+    if row_mask is not None:
+        P = P * row_mask
     AX = matmat(X)
     AP = matmat(P)
     theta0 = _coldot(X, AX)
@@ -232,6 +244,8 @@ def _lobpcg_impl(matmat, X0, preconditioner, largest, tol,
         theta = _coldot(X, AX)
         R = AX - X * theta[None, :]
         W = preconditioner(R) if preconditioner is not None else R
+        if row_mask is not None:
+            W = W * row_mask
         # Per-column normalization of the W and P blocks conditions
         # the Gram matrix (their natural scales shrink toward zero as
         # the iteration converges).

@@ -32,6 +32,10 @@ from spmv_tpu.parallel.halo_shard import (
     shard_csr_halo,
     sharded_halo_spmv,
     make_sharded_halo_matvec,
+    sharded_halo_spmm,
+    make_sharded_halo_matmat,
+    stack_block,
+    unstack_block,
 )
 from spmv_tpu.parallel.precond_shard import (
     ShardedBlockJacobiIC0,
@@ -98,6 +102,10 @@ __all__ = [
     "shard_csr_halo",
     "sharded_halo_spmv",
     "make_sharded_halo_matvec",
+    "sharded_halo_spmm",
+    "make_sharded_halo_matmat",
+    "stack_block",
+    "unstack_block",
     "ShardedBlockJacobiIC0",
     "block_jacobi_ic0",
     "make_sharded_block_ic0_preconditioner",

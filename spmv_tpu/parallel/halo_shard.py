@@ -431,6 +431,102 @@ def _local_halo_spmv(A: ShardedCsrHalo, blk, x_stacked, axis_name):
     return y[None, :]
 
 
+def _local_halo_spmm(A: ShardedCsrHalo, blk, x_stacked, axis_name):
+    """Multi-vector body: ``x_stacked`` is (1, R, k) locally; the
+    halo collective moves (H, k) strips (``exchange_halos`` lets
+    trailing axes ride), and the segment-sums run over (E, k)."""
+    i_rows, i_cols, i_vals, b_rows, b_cols, b_vals, send_idx = blk
+    x = x_stacked[0]                           # (R, k)
+    R = A.rows_per_shard
+
+    if A.exchange != "none":
+        x_halo = exchange_halos(
+            x, send_idx[0], axis_name, exchange=A.exchange,
+            num_shards=A.num_shards, max_distance=A.max_distance,
+        )
+
+    prod = i_vals[0][:, None] * jnp.take(x, i_cols[0], axis=0)
+    y = jax.ops.segment_sum(
+        prod, i_rows[0], num_segments=R, indices_are_sorted=True,
+    )
+    if A.exchange != "none":
+        bprod = b_vals[0][:, None] * jnp.take(x_halo, b_cols[0],
+                                              axis=0)
+        y = y + jax.ops.segment_sum(
+            bprod, b_rows[0], num_segments=R, indices_are_sorted=True,
+        )
+    y = y.at[R - 1].set(0.0)
+    return y[None]
+
+
+def sharded_halo_spmm(
+    A: ShardedCsrHalo, X_stacked, mesh: Mesh,
+    axis_name: str = AXIS_SHARDS,
+):
+    """Y = A @ X over the mesh; X/Y in stacked (P, R, k) layout.
+
+    The multi-RHS halo path: one halo exchange moves every column's
+    strips together, so collective count stays flat in k — the
+    sharded analogue of the single-chip SpMM amortization, and the
+    matmat a distributed LOBPCG rides (see make_sharded_halo_matmat).
+    """
+    spec1 = P(axis_name, None)
+    spec2 = P(axis_name, None, None)
+    fn = jax.shard_map(
+        partial(_local_halo_spmm, A, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(
+            (
+                spec1, spec1, spec1, spec1, spec1, spec1,
+                P(axis_name, None, None),
+            ),
+            spec2,
+        ),
+        out_specs=spec2,
+    )
+    blk = (A.i_row_ids, A.i_cols, A.i_vals,
+           A.b_row_ids, A.b_cols, A.b_vals, A.send_idx)
+    return fn(blk, X_stacked)
+
+
+def make_sharded_halo_matmat(A: ShardedCsrHalo, mesh: Mesh):
+    """Stacked-layout matmat closure ((P, R, k) -> (P, R, k)) for
+    block solvers (batched CG, LOBPCG)."""
+
+    def matmat(X_stacked):
+        return sharded_halo_spmm(A, X_stacked, mesh)
+
+    return matmat
+
+
+def stack_block(V: "np.ndarray", sharded, mesh: Mesh = None):
+    """Host (num_rows, k) block -> stacked (P, R, k) layout."""
+    P_, R = sharded.num_shards, sharded.rows_per_shard
+    V = np.asarray(V)
+    out = np.zeros((P_, R, V.shape[1]), dtype=V.dtype)
+    bounds = np.asarray(sharded.bounds)
+    for p in range(P_):
+        n = bounds[p + 1] - bounds[p]
+        out[p, :n] = V[bounds[p]:bounds[p + 1]]
+    arr = jnp.asarray(out)
+    if mesh is not None:
+        arr = jax.device_put(
+            arr, NamedSharding(mesh, P(AXIS_SHARDS, None, None)))
+    return arr
+
+
+def unstack_block(stacked, sharded) -> "np.ndarray":
+    """Stacked (P, R, k) -> host (num_rows, k)."""
+    stacked = np.asarray(stacked)
+    bounds = np.asarray(sharded.bounds)
+    out = np.empty((sharded.num_rows, stacked.shape[2]),
+                   dtype=stacked.dtype)
+    for p in range(sharded.num_shards):
+        n = bounds[p + 1] - bounds[p]
+        out[bounds[p]:bounds[p + 1]] = stacked[p, :n]
+    return out
+
+
 def sharded_halo_spmv(
     A: ShardedCsrHalo, x_stacked, mesh: Mesh, axis_name: str = AXIS_SHARDS
 ):
