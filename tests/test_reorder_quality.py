@@ -155,6 +155,27 @@ def test_native_matches_python():
     assert cut_n <= 1.1 * cut_p + 8
 
 
+def test_partitioner_degenerate_graphs():
+    """Edgeless (diagonal-only) and disconnected graphs partition
+    with balanced parts and no crash (BFS restarts + empty-boundary
+    FM early-exit)."""
+    from spmv_tpu.io.generate import from_coo_arrays
+
+    n = 64
+    mm = from_coo_arrays(n, n, np.arange(n), np.arange(n),
+                         np.ones(n))
+    labels = partition_graph(mm, 8, seed=0)
+    assert np.bincount(labels, minlength=8).max() <= 9
+
+    rows = np.concatenate([np.arange(31), np.arange(32, 63)])
+    cols = np.concatenate([np.arange(1, 32), np.arange(33, 64)])
+    mm2 = from_coo_arrays(
+        64, 64, np.concatenate([rows, cols]),
+        np.concatenate([cols, rows]), np.ones(124))
+    labels2 = partition_graph(mm2, 4, seed=0)
+    assert np.bincount(labels2, minlength=4).max() <= 18
+
+
 def test_gp_api_compat():
     """The __GP<n> magic-order path and default args still work."""
     mm = poisson2d(12, 12)
