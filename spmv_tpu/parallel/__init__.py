@@ -65,6 +65,8 @@ from spmv_tpu.parallel.wellcw_shard import (
     shard_wellcw_halo,
     sharded_wellcw_halo_spmv,
     make_sharded_wellcw_halo_matvec,
+    sharded_wellcw_halo_spmm,
+    make_sharded_wellcw_halo_matmat,
 )
 from spmv_tpu.parallel.bsr_shard import (
     ShardedBsrHalo,
@@ -138,4 +140,10 @@ __all__ = [
     "shard_well_halo",
     "sharded_well_halo_spmv",
     "make_sharded_well_halo_matvec",
+    "ShardedWellCwHalo",
+    "shard_wellcw_halo",
+    "sharded_wellcw_halo_spmv",
+    "make_sharded_wellcw_halo_matvec",
+    "sharded_wellcw_halo_spmm",
+    "make_sharded_wellcw_halo_matmat",
 ]

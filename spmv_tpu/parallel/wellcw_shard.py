@@ -378,6 +378,83 @@ def sharded_wellcw_halo_spmv(
     return fn(blk, x_stacked)
 
 
+def _local_wellcw_halo_spmm(A: ShardedWellCwHalo, blk, x_stacked,
+                            axis_name):
+    """Multi-RHS body: (1, R, k) local block; ONE halo exchange moves
+    all k columns' strips (trailing axes ride ``exchange_halos``)."""
+    (g_val, g_idx, g_grp, p_val, p_gidx, p_scat,
+     r_rows, r_cols, r_vals, send_idx) = blk
+    x = x_stacked[0]                                  # (R, k)
+    R = A.rows_per_shard
+    k = x.shape[1]
+    if A.exchange != "none":
+        x_halo = exchange_halos(
+            x, send_idx[0], axis_name, exchange=A.exchange,
+            num_shards=A.num_shards, max_distance=A.max_distance,
+        )
+        x_ext = jnp.concatenate([x, x_halo])
+    else:
+        x_ext = x
+
+    gathered = jnp.take(x_ext, g_idx[0], axis=0,
+                        mode="clip")                   # (C, 8, 128, k)
+    contrib = (g_val[0][..., None] * gathered).sum(axis=1)
+    y = jax.ops.segment_sum(
+        contrib, g_grp[0], num_segments=R // GROUP_ROWS,
+        indices_are_sorted=True,
+    ).reshape(-1, k)
+
+    pprod = p_val[0][..., None] * jnp.take(
+        x_ext, p_gidx[0], axis=0, mode="clip")
+    y = y.at[p_scat[0].reshape(-1)].add(
+        pprod.reshape(-1, k), mode="drop")
+
+    rp = r_vals[0][:, None] * jnp.take(x_ext, r_cols[0], axis=0,
+                                       mode="clip")
+    y = y + jax.ops.segment_sum(
+        rp, r_rows[0], num_segments=R, indices_are_sorted=True,
+    )
+    y = y.at[R - 1].set(0.0)
+    return y[None]
+
+
+def sharded_wellcw_halo_spmm(
+    A: ShardedWellCwHalo, X_stacked, mesh: Mesh,
+    axis_name: str = AXIS_SHARDS,
+):
+    """Y = A @ X over the mesh; X/Y in stacked (P, R, k) layout —
+    the scattered format's multi-RHS sharded path (one collective per
+    product regardless of k), the matmat a distributed LOBPCG rides
+    on scattered operators."""
+    spec2 = P(axis_name, None, None)
+    spec1 = P(axis_name, None)
+    spec3 = P(axis_name, None, None, None)
+    fn = jax.shard_map(
+        partial(_local_wellcw_halo_spmm, A, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(
+            (
+                spec3, spec3, spec1, spec3, spec3, spec3,
+                spec1, spec1, spec1, P(axis_name, None, None),
+            ),
+            spec2,
+        ),
+        out_specs=spec2,
+    )
+    blk = (A.g_value, A.g_idx, A.g_grp, A.p_value, A.p_gidx, A.p_scat,
+           A.r_rows, A.r_cols, A.r_vals, A.send_idx)
+    return fn(blk, X_stacked)
+
+
+def make_sharded_wellcw_halo_matmat(A: ShardedWellCwHalo, mesh: Mesh):
+    """Stacked-layout matmat closure ((P, R, k) -> (P, R, k))."""
+
+    def matmat(X_stacked):
+        return sharded_wellcw_halo_spmm(A, X_stacked, mesh)
+
+    return matmat
+
+
 def make_sharded_wellcw_halo_matvec(A: ShardedWellCwHalo, mesh: Mesh):
     """Stacked-layout matvec closure for iterative solvers (CG)."""
 

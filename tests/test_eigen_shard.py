@@ -106,6 +106,63 @@ def test_sharded_lobpcg_smallest(setup):
     assert np.all(resid < 1e-7), resid
 
 
+@pytest.mark.slow
+def test_sharded_wellcw_spmm_and_lobpcg():
+    """Multi-RHS on the SCATTERED sharded format: one halo exchange
+    per product regardless of k, and the distributed LOBPCG runs on
+    it (symmetrized scattered fixture)."""
+    from spmv_tpu.io.generate import random_sparse
+    from spmv_tpu.parallel import (
+        make_sharded_wellcw_halo_matmat,
+        shard_wellcw_halo,
+        sharded_wellcw_halo_spmm,
+    )
+
+    mesh = make_mesh(P_SHARDS)
+    base = random_sparse(512, 512, 5, seed=4)
+    # SPD-ize: A = S + S^T + diag shift (host dense, small fixture)
+    dense = np.zeros((512, 512))
+    np.add.at(dense, (base.rows_1based - 1, base.cols_1based - 1),
+              base.values)
+    dense = dense + dense.T
+    dense[np.diag_indices(512)] += np.abs(dense).sum(axis=1) + 1.0
+    from spmv_tpu.io.generate import from_coo_arrays
+
+    r, c = np.nonzero(dense)
+    mm = from_coo_arrays(512, 512, r, c, dense[r, c])
+    host = CsrMatrix.from_matrix_market(mm)
+    Ac = shard_wellcw_halo(host, P_SHARDS, mesh=mesh,
+                           exchange="all2all")
+
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((512, 3))
+    Vs = stack_block(V, Ac, mesh=mesh)
+    Y = unstack_block(sharded_wellcw_halo_spmm(Ac, Vs, mesh), Ac)
+    want = dense @ V
+    np.testing.assert_allclose(Y, want, rtol=1e-9, atol=1e-9)
+
+    # distributed LOBPCG on the scattered operator
+    k = 2
+    matmat = make_sharded_wellcw_halo_matmat(Ac, mesh)
+    n_stacked = Ac.num_shards * Ac.rows_per_shard
+    bounds = np.asarray(Ac.bounds)
+    m = np.zeros((Ac.num_shards, Ac.rows_per_shard))
+    for p in range(Ac.num_shards):
+        m[p, : bounds[p + 1] - bounds[p]] = 1.0
+    m[:, Ac.rows_per_shard - 1] = 0.0
+    mask = jnp.asarray(m.reshape(-1))
+    X0 = stack_block(rng.standard_normal((512, k)), Ac, mesh=mesh)
+    res = lobpcg(
+        lambda W: matmat(
+            W.reshape(Ac.num_shards, Ac.rows_per_shard, k)
+        ).reshape(n_stacked, k),
+        X0.reshape(n_stacked, k), tol=1e-8, max_iterations=600,
+        mask=mask)
+    want_eigs = np.sort(np.linalg.eigvalsh(dense))[:k]
+    np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                               want_eigs, rtol=1e-6)
+
+
 def test_sharded_lobpcg_without_mask_is_poisoned(setup):
     """The failure mode the mask exists for: without it, the padded
     layout's null-space rows surface as spurious ~0 eigenvalues."""
