@@ -817,7 +817,12 @@ def _scaling_report(args, out) -> None:
     # shard to the max): worst shard's off-shard distinct elements
     off_diag = need.sum(axis=1) - np.diag(need)
     halo = int(off_diag.max()) if P > 1 else 0
-    scheme = "dia-halo" if args.spmv_format == "dia" else "ragged-halo"
+    # Always price with the MEASURED per-shard element count
+    # (ragged-halo: comm = halo * value_bytes).  The dia-halo scheme
+    # prices 2*halo from a strip WIDTH — feeding it the measured
+    # total would double-count; the measured number is already both
+    # sides' elements.
+    scheme = "ragged-halo"
     value_bytes = 4
     nnz_per_row = max(csr.num_entries / max(csr.num_rows, 1), 1.0)
     model = spmv_scaling_model(
