@@ -31,7 +31,7 @@ tool ``jamtrott/spmv-cache-trace`` (see SURVEY.md), redesigned TPU-first:
 The command-line driver lives in ``spmv_tpu.cli`` (``python -m spmv_tpu``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 from spmv_tpu.errors import (
     SpmvError,
