@@ -650,7 +650,11 @@ def _legs(on_tpu: bool, interpret: bool):
         sn = s_dia.num_rows
         s_x = rng.standard_normal(sn).astype(np.float32)
         s_b = jnp.asarray(s_dia.spmv(s_x).astype(np.float32))
-        iters = (200, 600) if on_tpu else (20, 60)
+        # Long chains: the tunnel's ~30 ms dispatch variance must be
+        # small against the large-small gap (at (200, 600) the
+        # resident leg's 37 ms signal misread 92 us/iter as 204 in
+        # one congested run; (600, 1800) gives ~110 ms of signal).
+        iters = (600, 1800) if on_tpu else (20, 60)
 
         def step(b, A):
             return dia_conjugate_gradient(
