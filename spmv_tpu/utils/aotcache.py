@@ -180,6 +180,30 @@ def aot_call(name: str, fn, args: tuple, **static_kwargs):
         call = jax.jit(exp.call)
         with _LOCK:
             _MEMO[key] = (call, out_treedef)
+        _prune(d)
         return jax.tree.unflatten(out_treedef, call(*flat))
     except Exception:  # noqa: BLE001 — export unsupported: plain path
         return fn(*args, **static_kwargs)
+
+
+_MAX_ENTRIES = 128
+
+
+def _prune(d: str) -> None:
+    """Keep the newest _MAX_ENTRIES blobs (every distinct shape
+    signature writes one; unbounded growth would otherwise accrete in
+    the user's cache dir).  Best-effort."""
+    try:
+        blobs = [os.path.join(d, n) for n in os.listdir(d)
+                 if n.endswith(".jaxexport")]
+        if len(blobs) <= _MAX_ENTRIES:
+            return
+        blobs.sort(key=os.path.getmtime)
+        for path in blobs[: len(blobs) - _MAX_ENTRIES]:
+            for p in (path, path + ".outtree"):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+    except OSError:
+        pass
