@@ -10,6 +10,7 @@ dropped 10.0 s -> ~3.4 s at the bench shape (the rest is host ingest
 """
 
 import os
+import uuid
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,9 @@ def test_default_cache_dir_env(monkeypatch):
 def test_aot_call_roundtrip():
     """Miss writes a blob; a fresh memo hits the disk path and
     returns identical results without re-tracing."""
+    # unique per run: the test cache dir persists across suite runs,
+    # so a fixed name would disk-hit immediately and never trace
+    name = f"aot_test_fn_{uuid.uuid4().hex[:8]}"
     traced = []
 
     def fn(A, x):
@@ -48,14 +52,14 @@ def test_aot_call_roundtrip():
     A = {"d": jnp.arange(8.0)}
     x = jnp.ones((8,)) * 2
     aotcache.clear_memo()
-    out1 = aotcache.aot_call("aot_test_fn", fn, (A, x))
+    out1 = aotcache.aot_call(name, fn, (A, x))
     assert traced == [1]
     # memo hit: no retrace
-    out2 = aotcache.aot_call("aot_test_fn", fn, (A, x))
+    out2 = aotcache.aot_call(name, fn, (A, x))
     assert traced == [1]
     # simulate a fresh process: clear the in-memory memo only
     aotcache.clear_memo()
-    out3 = aotcache.aot_call("aot_test_fn", fn, (A, x))
+    out3 = aotcache.aot_call(name, fn, (A, x))
     assert traced == [1], "disk hit must not re-trace"
     for out in (out2, out3):
         np.testing.assert_allclose(out["y"], out1["y"])
