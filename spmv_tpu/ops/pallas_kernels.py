@@ -1408,6 +1408,29 @@ def _cw_kernel(blk_ref, ws_ref, grp_ref, x_ref, v_ref, l_ref, y_ref,
         y_ref[:] += acc_blk
 
 
+def _cw_table_reuse(build):
+    """Share stride tables across CW sources with the same phase
+    count d: a source whose xr4 is <= an already-built table's can
+    read that table directly (same stride interleave, same padding
+    start; its anchors never reach the extra rows).  At the bench
+    cliff case this drops the tail pool's duplicate 16-MB-per-RHS
+    table build — the largest fixed overhead left in the SpMM call.
+    Sources must be visited largest-first per d (merged comes first,
+    which holds by construction)."""
+    cache = {}
+
+    def tables_for(src):
+        hit = cache.get(src.d)
+        if hit is not None and hit[0] >= src.xr4:
+            return hit[1]
+        xt = build(src)
+        if hit is None or src.xr4 > hit[0]:
+            cache[src.d] = (src.xr4, xt)
+        return xt
+
+    return tables_for
+
+
 def _cw_tables(lvl, x):
     """Split x into the level's d stride-d gather tables
     (d, xr4, LANE)."""
@@ -1796,22 +1819,23 @@ def wellcw_spmv_padded(A, x, interpret: bool = False) -> jax.Array:
     out_rows = SUBLANE * A.blocks_per_out
     padded_groups = round_up(A.num_groups, out_rows)
     xf = x.astype(_cw_value_dtype(A))
+    tables_for = _cw_table_reuse(lambda src: _cw_tables(src, xf))
     y = None
     if A.merged is not None:
-        y = _cw_merged_call(A.merged, _cw_tables(A.merged, xf),
+        y = _cw_merged_call(A.merged, tables_for(A.merged),
                             interpret)
         padded_groups = y.shape[0]
     for lvl in A.levels:
-        y2d = _cw_level_call(lvl, _cw_tables(lvl, xf), padded_groups,
+        y2d = _cw_level_call(lvl, tables_for(lvl), padded_groups,
                              out_rows, interpret)
         y = y2d if y is None else y + y2d
     if A.pool is not None:
-        y2d = _cw_pool_call(A.pool, _cw_tables(A.pool, xf),
+        y2d = _cw_pool_call(A.pool, tables_for(A.pool),
                             padded_groups, out_rows, interpret)
         y = y2d if y is None else y + y2d
     for tp in A.tail_pools:
         tg = round_up(A.num_groups, tp.out_rows)
-        y2d = _cw_pool_call(tp, _cw_tables(tp, xf), tg, tp.out_rows,
+        y2d = _cw_pool_call(tp, tables_for(tp), tg, tp.out_rows,
                             interpret)
         pad = padded_groups - y2d.shape[0]
         if pad > 0:
@@ -2009,15 +2033,17 @@ def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
     padded_groups = round_up(A.num_groups, out_rows)
     Xf = X.astype(_cw_value_dtype(A))
     XT = Xf.T
+    tables_for = _cw_table_reuse(
+        lambda src: _cw_tables3(src, XT, nvec))
     y = None
     if A.merged is not None:
         y = _cw_merged_spmm_call(
-            A.merged, _cw_tables3(A.merged, XT, nvec), nvec,
+            A.merged, tables_for(A.merged), nvec,
             interpret)
         padded_groups = y.shape[0]
     for lvl in A.levels:
         d = lvl.d
-        xt = _cw_tables3(lvl, XT, nvec)
+        xt = tables_for(lvl)
         k = lvl.chunks_per_step
         steps = lvl.num_chunks // k
         kernel = functools.partial(
@@ -2059,13 +2085,13 @@ def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
           xt, lvl.value, lvl.local_index)
         y = y3d if y is None else y + y3d
     if A.pool is not None:
-        xt = _cw_tables3(A.pool, XT, nvec)
+        xt = tables_for(A.pool)
         y3d = _cw_pool_spmm_call(A.pool, xt, padded_groups, out_rows,
                                  nvec, interpret)
         y = y3d if y is None else y + y3d
     for tp in A.tail_pools:
         tg = round_up(A.num_groups, tp.out_rows)
-        y3d = _cw_pool_spmm_call(tp, _cw_tables3(tp, XT, nvec), tg,
+        y3d = _cw_pool_spmm_call(tp, tables_for(tp), tg,
                                  tp.out_rows, nvec, interpret)
         pad = padded_groups - y3d.shape[0]
         if pad > 0:
