@@ -93,12 +93,11 @@ BASELINE_FRACTION = 0.80
 CHECKSUM_RTOL = 1e-4
 # Scattered-matrix gate (VERDICT r2 item 2): the WELL-CW fraction is a
 # FAILING gate, not a rider — regressing the scattered path must turn
-# the bench red.  The round-3 merged grid measures 0.414-0.425
-# run-to-run (470-485 us / 17.2-17.8 Gnnz/s), which overlaps the
-# round-2 level (0.405) within tunnel noise, so the floor cannot
-# separate those two; it sits just under the noise band to catch any
-# real structural regression (a kernel or packing break lands well
-# below 0.38) without zeroing the whole bench on a slow run.
+# the bench red.  Round 5's cross-source table reuse lifted the
+# merged grid to ~0.46 (437 us / 19.2 Gnnz/s); the floor sits under
+# the pre-reuse noise band (0.414-0.425) so a tunnel-slow run of the
+# old level still passes while a kernel or packing break (which
+# lands well below 0.38) fails.
 WELLCW_FLOOR = 0.38
 
 
