@@ -10,8 +10,11 @@
 //   hem_match:  greedy heavy-edge matching in a given visit order
 //   fm_refine:  boundary Fiduccia-Mattheyses passes with a lazy heap
 //
-// Both mirror the Python implementations bit-for-bit given the same
-// visit order (tests/test_reorder_quality.py::test_native_matches_python).
+// hem_match mirrors the Python loop bit-for-bit given the same visit
+// order (tests/test_reorder_quality.py::test_native_matches_python);
+// fm_refine runs the same algorithm but std::priority_queue breaks
+// equal-gain ties by largest node id where Python's heapq takes the
+// smallest, so refined partitions may differ between implementations.
 // Plain C ABI for ctypes; no dependencies.
 
 #include <cstdint>

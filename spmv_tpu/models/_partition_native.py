@@ -2,9 +2,13 @@
 
 Same on-demand build + graceful-degradation pattern as
 models._cw_native: ``available()`` is False without a compiler, and
-``partition_graph`` falls back to the pure-Python matching/FM loops
-(identical semantics given the same visit order —
-tests/test_reorder_quality.py pins native == python).
+``partition_graph`` falls back to the pure-Python matching/FM loops.
+``hem_match`` is bit-identical to the Python loop for the same visit
+order (pinned by tests/test_reorder_quality.py); ``fm_refine`` runs
+the same algorithm but its heap breaks equal-gain ties by LARGEST
+node id where Python's heapq breaks them by smallest, so refined
+partitions can differ between the two implementations (the test
+bounds the cut gap instead of asserting equality).
 
 The native cores replace exactly the two per-node/per-move Python
 loops that dominated wall time on irregular graphs (100k-row
@@ -44,13 +48,15 @@ def _build_lib() -> bool:
     src = os.path.join(_CSRC_DIR, "partition.cpp")
     if not os.path.exists(src):
         return False
-    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O3", "-std=c++17", "-fPIC", "-shared",
         "-o", _LIB_PATH, src,
     ]
     try:
+        # makedirs inside the try: a read-only package directory must
+        # degrade to the Python fallback, not raise out of available()
+        os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
         subprocess.run(cmd, check=True, capture_output=True,
                        timeout=120)
         return True

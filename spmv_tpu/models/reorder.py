@@ -143,6 +143,22 @@ def find_new_order_gp(
     if num_parts <= 1 or n == 0:
         return np.arange(n, dtype=np.int64)
     if method == "multilevel":
+        from spmv_tpu.models import _partition_native as _pn
+
+        if n > 50_000 and not _pn.available():
+            # the pure-Python matching/FM loops are ~90x slower than
+            # the native cores (181 s vs 2 s at 100k irregular rows);
+            # without a compiler, large graphs keep the fast
+            # single-level BFS default instead of hanging
+            import warnings
+
+            warnings.warn(
+                "native partition cores unavailable; falling back to "
+                "single-level BFS bisection for this large graph "
+                "(build csrc/ or pass method='multilevel' on a "
+                "smaller matrix for refined cuts)", stacklevel=2)
+            method = "bfs"
+    if method == "multilevel":
         labels = partition_graph(mm, num_parts, seed=seed)
         order = np.argsort(labels, kind="stable")
         new_order = np.empty(n, dtype=np.int64)
@@ -245,6 +261,9 @@ def _heavy_edge_matching(ptr, adj, wgt, vwgt, rng, native=True):
     The per-node loop runs through csrc/partition.cpp when available
     (same visit order, bit-identical output — pinned by test); the
     Python loop below is the reference implementation and fallback.
+    (The FM refinement's native path, by contrast, is only
+    algorithm-identical: its heap tie-breaking differs — see
+    _partition_native.)
     """
     n = ptr.size - 1
     order = rng.permutation(n)

@@ -1474,6 +1474,8 @@ def _cw_level_call(lvl, xt, padded_groups, out_rows, interpret):
         out_shape=jax.ShapeDtypeStruct(
             (padded_groups, LANE), lvl.value.dtype
         ),
+        compiler_params=_cw_vmem_params(xt, k, 1, padded_groups,
+                                        lvl.value.dtype),
         interpret=interpret,
     )(lvl.block_of_step, lvl.anchor4, lvl.group_of_chunk,
       xt, lvl.value, lvl.local_index)
@@ -1556,6 +1558,8 @@ def _cw_pool_call(pool, xt, padded_groups, out_rows, interpret):
         out_shape=jax.ShapeDtypeStruct(
             (padded_groups, LANE), pool.value.dtype
         ),
+        compiler_params=_cw_vmem_params(xt, k, 1, padded_groups,
+                                        pool.value.dtype),
         interpret=interpret,
     )(pool.block_of_step, pool.anchor4,
       xt, pool.value, pool.local_index, pool.rowmap)
@@ -1630,6 +1634,8 @@ def _cw_merged_call(mg, xt, interpret):
         out_shape=jax.ShapeDtypeStruct(
             (mg.num_blocks * 64, LANE), mg.value.dtype
         ),
+        compiler_params=_cw_vmem_params(xt, kl, 1, mg.num_blocks * 64,
+                                        mg.value.dtype),
         interpret=interpret,
     )(mg.anchor4, xt, mg.value, mg.local_index)
 
@@ -1720,8 +1726,8 @@ def _cw_merged_spmm_kernel(ws_ref, x_ref, v_ref, l_ref, y_ref, *, d,
         y_ref[:, v, :] = accs[v]
 
 
-def _cw_spmm_params(xt, k, nvec, out_rows_total, dtype):
-    """Explicit scoped-VMEM limit for the multi-RHS CW calls: the
+def _cw_vmem_params(xt, k, nvec, out_rows_total, dtype):
+    """Explicit scoped-VMEM limit for the CW SpMV/SpMM calls: the
     whole-x tables (up to 64 MB under the guard) plus double-buffered
     value/index tiles, the output (the TPU allocator has been seen
     stack-allocating the FULL (padded, nvec, LANE) result inside
@@ -1769,7 +1775,7 @@ def _cw_merged_spmm_call(mg, xt, nvec, interpret):
         out_shape=jax.ShapeDtypeStruct(
             (mg.num_blocks * 64, nvec, LANE), mg.value.dtype
         ),
-        compiler_params=_cw_spmm_params(xt, kl, nvec,
+        compiler_params=_cw_vmem_params(xt, kl, nvec,
                                         mg.num_blocks * 64,
                                         mg.value.dtype),
         interpret=interpret,
@@ -1996,7 +2002,7 @@ def _cw_pool_spmm_call(pool, xt, padded_groups, out_rows, nvec,
         out_shape=jax.ShapeDtypeStruct(
             (padded_groups, nvec, LANE), pool.value.dtype
         ),
-        compiler_params=_cw_spmm_params(xt, k, nvec, padded_groups,
+        compiler_params=_cw_vmem_params(xt, k, nvec, padded_groups,
                                         pool.value.dtype),
         interpret=interpret,
     )(pool.block_of_step, pool.anchor4,
@@ -2077,7 +2083,7 @@ def _wellcw_spmm_padded(A, X, interpret: bool = False) -> jax.Array:
             out_shape=jax.ShapeDtypeStruct(
                 (padded_groups, nvec, LANE), lvl.value.dtype
             ),
-            compiler_params=_cw_spmm_params(xt, k, nvec,
+            compiler_params=_cw_vmem_params(xt, k, nvec,
                                             padded_groups,
                                             lvl.value.dtype),
             interpret=interpret,

@@ -51,6 +51,15 @@ def clear_memo() -> None:
 
 
 def _module_source_hash(fn) -> str:
+    """Hash of the ENTIRE spmv_tpu package source plus the wrapped
+    function's own module.
+
+    Hashing only the function's module is not enough: the traced
+    computation also depends on imported code (packing semantics in
+    models/, LANE/round_up constants, ...), and a stale StableHLO blob
+    would silently compute with old kernel logic after such an edit.
+    The package-wide hash invalidates on ANY library change — coarse
+    but safe, and computed once per process (~1 MB of reads)."""
     mod = getattr(fn, "__module__", None) or "?"
     with _LOCK:
         h = _SRC_HASH.get(mod)
@@ -59,9 +68,21 @@ def _module_source_hash(fn) -> str:
     try:
         import importlib
 
+        hasher = hashlib.sha256()
+        import spmv_tpu
+
+        pkg_root = os.path.dirname(os.path.abspath(spmv_tpu.__file__))
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if name.endswith(".py"):
+                    with open(os.path.join(dirpath, name), "rb") as f:
+                        hasher.update(f.read())
         m = importlib.import_module(mod)
-        with open(m.__file__, "rb") as f:
-            h = hashlib.sha256(f.read()).hexdigest()[:16]
+        if m.__file__ and not m.__file__.startswith(pkg_root):
+            with open(m.__file__, "rb") as f:
+                hasher.update(f.read())
+        h = hasher.hexdigest()[:16]
     except Exception:  # noqa: BLE001 — unhashable module: never cache
         h = None
     with _LOCK:

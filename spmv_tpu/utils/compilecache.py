@@ -62,7 +62,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     if not target:
         target = cache_dir if cache_dir else default_cache_dir()
     try:
-        os.makedirs(target, exist_ok=True)
+        # private: the AOT trace cache under this directory stores
+        # pickled treedefs, which must never be loadable from a
+        # location other users can write to
+        os.makedirs(target, mode=0o700, exist_ok=True)
     except OSError:
         return None
     jax.config.update("jax_compilation_cache_dir", target)

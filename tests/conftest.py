@@ -28,8 +28,12 @@ import tempfile
 # lowered HLO + jax version, so reuse across runs is safe and makes
 # repeat suite runs compile-warm (the fast core's dominant cost).
 if "SPMV_TPU_CACHE_DIR" not in os.environ:
+    # per-user (uid-suffixed): /tmp is world-writable, and the AOT
+    # cache deserializes pickled treedefs — the directory must not be
+    # shareable or pre-plantable by another local user
     os.environ["SPMV_TPU_CACHE_DIR"] = os.path.join(
-        tempfile.gettempdir(), "spmv-tpu-test-cache")
+        tempfile.gettempdir(),
+        f"spmv-tpu-test-cache-{os.getuid()}")
 
 import jax
 
