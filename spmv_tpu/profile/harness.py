@@ -140,6 +140,18 @@ def time_kernel(
             2 * (k_large - k_small),
         )
 
+    if min_signal_s > 0.0:
+        # Re-measure the small chain AFTER the large phase and take
+        # the min across both phases: sustained tunnel congestion
+        # during only the small phase inflates min(t_small) and makes
+        # the slope read FASTER than physically possible (observed: a
+        # 443 us DIA SpMV reported as 340 us / 1.27x roofline).
+        # Congestion during the large phase merely under-reports —
+        # the safe direction — so only the small side needs the
+        # second phase.
+        t_small = t_small + [_time_once(fn_s, args)
+                             for _ in range(runs)]
+
     per_iter = (min(t_large) - min(t_small)) / (k_large - k_small)
     per_iter = max(per_iter, 1e-12)
     return KernelTiming(
