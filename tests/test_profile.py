@@ -48,12 +48,6 @@ def test_time_kernel_survives_small_phase_congestion(monkeypatch):
                          and not phase["seen_large"]) else 0.0
         return dispatch + k * per_iter_true + extra
 
-    def fake_chained(k):
-        def run(*a):
-            return np.float32(0.0)
-        run._k = k
-        return run
-
     monkeypatch.setattr(H, "_time_once", fake_time_once)
 
     def step(v):
