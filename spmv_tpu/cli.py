@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
             "spmv-cache-trace)."
         ),
     )
+    from spmv_tpu import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("-m", "--matrix", metavar="PATH",
                    help="Matrix Market file (.mtx, .mtx.gz, .tar.gz)")
     p.add_argument("-c", "--trace-config", metavar="PATH",
